@@ -247,12 +247,15 @@ def compute_group_by(
     )
 
     tie = gb.tie_breaker_column
-    ev_u = ev.withColumn(SIDE_COL, F.lit(0)).withColumn(ROW_ID, F.lit(None).cast("long"))
+    # NOTE: no nulls in ROW_ID/TIE_COL — a null would make Arrow hand pandas
+    # a float64 column and 64-bit row ids (e.g. xxhash64) lose precision
+    # above 2^53. Events carry a dummy 0 row id instead.
+    ev_u = ev.withColumn(SIDE_COL, F.lit(0)).withColumn(ROW_ID, F.lit(0).cast("long"))
     if tie:
-        ev_u = ev_u.withColumn(TIE_COL, F.col(tie).cast("long"))
+        ev_u = ev_u.withColumn(TIE_COL, F.coalesce(F.col(tie).cast("long"), F.lit(0)))
     else:
         ev_u = ev_u.withColumn(TIE_COL, F.lit(0).cast("long"))
-    q_u = q.withColumn(SIDE_COL, F.lit(1))
+    q_u = q.withColumn(SIDE_COL, F.lit(1)).withColumn(TIE_COL, F.lit(0).cast("long"))
     union = ev_u.unionByName(q_u, allowMissingColumns=True)
 
     parts = gb.parts()
@@ -271,7 +274,7 @@ def compute_group_by(
         if len(qr) == 0:
             return pd.DataFrame({f.name: pd.Series(dtype=object) for f in fields})
         ev_p = pdf[~is_q]
-        order = np.lexsort((ev_p[TIE_COL].to_numpy(dtype=np.int64, na_value=0),
+        order = np.lexsort((ev_p[TIE_COL].to_numpy(dtype=np.int64),
                             ev_p[TS_COL].to_numpy(dtype=np.int64)))
         ev_p = ev_p.iloc[order]
         ev_ts = ev_p[TS_COL].to_numpy(dtype=np.int64)
