@@ -1,0 +1,216 @@
+"""Benchmark harness (driver-run per round; also the local feedback loop).
+
+Prints ONE JSON line:
+  {"metric": "pit_backfill_total_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "turns": N, "turns_per_sec": T,
+   "scaling": {"local[8]": tps8, "local[32]": tps32, "efficiency": e}}
+
+Headline = the north-rule workload: point-in-time join + window-agg
+backfill over a synthetic multi-turn transcript table (deterministic,
+seeded, sized by sf), every turn a query point. Scaling efficiency is
+evidenced by running the identical backfill at two local parallelism
+levels on the same input (the sandbox stand-in for N vs 4N executors).
+
+Also times the driver-facing queries() on the sf events table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TURNS_PER_SF = 4_000_000  # sf0.1 -> ~400k turns
+SCALING_LOW_CPUS = max(2, CPUS // 4)
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def transcripts_path(sf: float) -> str:
+    """Deterministic synthetic transcripts cached as parquet (seed fixed)."""
+    cache = os.path.join(REPO, ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    n_turns = int(TURNS_PER_SF * sf)
+    path = os.path.join(cache, f"transcripts_{n_turns}.parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from zipline_chronon_spark.sources.transcripts import generate_transcripts
+
+        avg_turns = 20
+        pdf = generate_transcripts(
+            n_convs=max(1, n_turns // avg_turns),
+            avg_turns=avg_turns,
+            n_days=30,
+            seed=42,
+            hot_conv_factor=50,  # one hot conversation to keep skew honest
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    return path
+
+
+def flagship_backfill(spark, path: str):
+    """PIT backfill: every turn enriched with windowed features of its
+    conversation history (the north-rule workload)."""
+    from zipline_chronon_spark.api import Aggregation, Operation, TimeUnit, Window
+    from zipline_chronon_spark.api import EventSource, GroupBy, Query
+    from zipline_chronon_spark.operators.pit_join import compute_group_by_self
+
+    W1H, W1D, W7D = Window(1, TimeUnit.HOURS), Window(1, TimeUnit.DAYS), Window(7, TimeUnit.DAYS)
+    gb = GroupBy(
+        name="bench_convo",
+        sources=(EventSource(
+            table=path,
+            query=Query(
+                selects={"conv_id": "conv_id", "turn_idx": "turn_idx", "role": "role",
+                         "text": "text", "len_text": "length(text)"},
+                time_column="ts",
+            ),
+        ),),
+        key_columns=("conv_id",),
+        aggregations=(
+            Aggregation("text", Operation.COUNT, windows=(W1H, W1D, W7D, None)),
+            Aggregation("len_text", Operation.SUM, windows=(W1D,)),
+            Aggregation("len_text", Operation.AVERAGE, windows=(W1D,)),
+            Aggregation("text", Operation.LAST_K, arg_map=(("k", "3"),), windows=(None,)),
+            Aggregation("text", Operation.COUNT, windows=(W1D,), buckets=("role",)),
+        ),
+        tie_breaker_column="turn_idx",
+    )
+    # each turn is a query point at its own ts: self-enrichment fast path
+    out = compute_group_by_self(
+        spark, gb,
+        row_id_expr="xxhash64(conv_id) + cast(turn_idx as long)",
+        passthrough={"conv_id": "conv_id", "turn_idx": "turn_idx"},
+    )
+    # count() forces full computation without collecting feature payloads
+    return out.count()
+
+
+def _new_spark(cpus: int):
+    from zipline_chronon_spark.session import get_spark
+
+    return get_spark(master=f"local[{cpus}]", app_name=f"bench-{cpus}",
+                     shuffle_partitions=max(8, cpus * 2))
+
+
+def _warm(spark, tpath: str) -> None:
+    """Warm the JVM/IO path AND the Python worker pool (first
+    mapInPandas pays ~0.5s/worker startup that is not steady-state)."""
+    import pandas as _pd
+
+    df = spark.read.parquet(tpath)
+    df.count()
+    df.repartition("conv_id").mapInPandas(
+        lambda it: ( _pd.DataFrame({"n": [len(p)]}) for p in it),
+        schema="n long",
+    ).count()
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    tpath = transcripts_path(sf)
+
+    import pyarrow.parquet as pq
+
+    n_turns = pq.ParquetFile(tpath).metadata.num_rows
+
+    timings: dict[str, float] = {}
+
+    spark = _new_spark(CPUS)
+    _warm(spark, tpath)
+
+    def best_of(fn, n=2):
+        # the sandbox VM has noisy CPU scheduling; report the best of n runs
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    rows = flagship_backfill(spark, tpath)  # warm pass (plan + workers)
+    assert rows == n_turns, (rows, n_turns)
+    t_flagship = best_of(lambda: flagship_backfill(spark, tpath))
+    timings["flagship_pit_backfill"] = round(t_flagship, 3)
+
+    # driver-facing queries on the events table
+    import __spark_entry__ as entry_mod
+
+    for name, fn in entry_mod.queries().items():
+        timings[name] = round(best_of(lambda: fn(spark, SF_DIR).count()), 3)
+    spark.stop()
+
+    # scaling: identical backfill at CPUS/4 vs CPUS on the same input, each
+    # in a FRESH process (re-creating a SparkContext with a different master
+    # inside one JVM gives unreliable thread pools)
+    scaling = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        import subprocess
+
+        tps = {}
+        for cpus in (SCALING_LOW_CPUS, CPUS):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-probe", str(cpus)],
+                capture_output=True, text=True, env={**os.environ, "PYTHONPATH": REPO},
+                check=True,
+            )
+            tps[cpus] = float(out.stdout.strip().splitlines()[-1])
+        eff = (tps[CPUS] / tps[SCALING_LOW_CPUS]) / (CPUS / SCALING_LOW_CPUS)
+        scaling = {
+            f"local[{SCALING_LOW_CPUS}]_turns_per_sec": round(tps[SCALING_LOW_CPUS]),
+            f"local[{CPUS}]_turns_per_sec": round(tps[CPUS]),
+            "efficiency": round(eff, 3),
+        }
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "pit_backfill_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns": int(n_turns),
+        "turns_per_sec": round(n_turns / t_flagship),
+        "scaling": scaling,
+    }))
+
+
+def scaling_probe(cpus: int) -> None:
+    """Measure flagship throughput at one parallelism level; print tps."""
+    import pyarrow.parquet as pq
+
+    sf = _sf_from_dir(SF_DIR)
+    tpath = transcripts_path(sf)
+    n_turns = pq.ParquetFile(tpath).metadata.num_rows
+    spark = _new_spark(cpus)
+    _warm(spark, tpath)
+    flagship_backfill(spark, tpath)  # one full warm pass (plan + worker pool)
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        flagship_backfill(spark, tpath)
+        dt = min(dt, time.time() - t0)
+    spark.stop()
+    print(n_turns / dt)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scaling-probe":
+        scaling_probe(int(sys.argv[2]))
+    else:
+        main()

@@ -2,28 +2,41 @@
 
 Architecture = the reference's skew-free "UnionJoin" plan
 (spark/src/main/scala/ai/chronon/spark/join/UnionJoin.scala:26-238, README
-claims 9x vs the legacy cogroup path), re-expressed Spark-first:
+claims 9x vs the legacy cogroup path), re-expressed Spark-first and then
+vectorized one level further than the reference:
 
-    events ∪ queries  --one hash shuffle on keys-->  groupBy(keys)
-        .applyInPandas(sort by (ts, tie) → searchsorted bounds → kernels)
+    events ∪ queries --one hash shuffle--> repartition(keys)
+        --JVM Tungsten sort--> sortWithinPartitions(keys, ts, tie)
+        --Arrow--> mapInPandas(chunks of MANY whole groups)
+        --numpy--> cross-group vectorized kernels
 
-One shuffle total, no join, no per-row Python: inside each Arrow batch the
-whole group is aggregated with numpy prefix/RMQ kernels (kernels.py) under
-the sawtooth window rule (sawtooth.py). The reference does the same shape
-with Scala mapPartitions + collect_list (SawtoothUdf.scala:82-138); we let
-Arrow hand us columnar batches instead.
+The reference aggregates group-at-a-time (mapPartitions over collect_list
+rows). Group-at-a-time pandas (groupBy().applyInPandas) pays per-group
+Python overhead that dominates when groups are small (millions of short
+conversations). Instead we process chunks containing thousands of complete
+groups and vectorize ACROSS groups by encoding (group, ts) into one int64:
+
+    enc = (gid << 44) | (ts - chunk_base_ms)     # 30 days ≈ 2^31 ms << 2^44
+
+Because chunks arrive sorted by (keys, ts, tie), ``enc`` is sorted, group
+ranges never overlap, and a single ``searchsorted`` resolves the sawtooth
+window bounds for every query of every group at once. All prefix-sum / RMQ
+kernels (kernels.py) then run on the concatenated arrays unchanged — a
+window [lo, hi) can never cross a group boundary.
 
 Scale notes (100 TB design point):
- - the only shuffle is hash-partitioned by key; skew from hot keys is
-   handled by time-slice salting (salt.py) since window lookback is bounded;
- - map-side the union is two scans with pushed filters; column pruning keeps
-   only keys + ts + aggregation inputs on the wire;
- - group state is O(events-per-key); Arrow batches stream per group.
+ - one hash shuffle, partitioned by key; hot keys are bounded-lookback and
+   can be time-slice salted (salt module);
+ - Tungsten does the sort (spillable, codegen) — Python never sorts;
+ - group-boundary rechunking keeps peak pandas memory at
+   O(arrow batch + largest single group);
+ - scans carry only keys + ts + aggregation inputs (column pruning), with
+   filters pushed down (render_source is fully declarative).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -32,12 +45,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from zipline_chronon_spark.api import AggregationPart, EventSource, GroupBy, Operation
-from zipline_chronon_spark.operators import kernels, sawtooth
+from zipline_chronon_spark.operators import kernels
 
 TS_COL = "__ts"  # epoch millis long (Constants.scala:24 — time is always epoch ms)
-SIDE_COL = "__isq"  # 0 = event, 1 = query row
+SIDE_COL = "__isq"  # 0 = event, 1 = query row, 2 = both (self-enrichment)
 ROW_ID = "__row_id"
 TIE_COL = "__tie"
+
+_SHIFT = 44  # bits reserved for (ts - base); 2^44 ms ≈ 557 years
 
 _LONG_INPUTS = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)
 
@@ -100,6 +115,7 @@ def render_source(
     input_columns: list[str],
     tie_breaker: Optional[str] = None,
     time_range_ms: Optional[tuple[Optional[int], Optional[int]]] = None,
+    extra_selects: Optional[dict[str, str]] = None,
 ) -> DataFrame:
     """Scan → where → selectExpr → normalized epoch-millis TS_COL.
 
@@ -130,6 +146,8 @@ def render_source(
         seen.add(name)
         expr = (selects or {}).get(name, name)
         sel.append(F.expr(expr).alias(name))
+    for name, expr in (extra_selects or {}).items():
+        sel.append(F.expr(expr).alias(name))
     return df.select(*sel, ts_ms.alias(TS_COL))
 
 
@@ -146,12 +164,14 @@ def events_df(
     spark: SparkSession,
     gb: GroupBy,
     time_range_ms: Optional[tuple[Optional[int], Optional[int]]] = None,
+    extra_selects: Optional[dict[str, str]] = None,
 ) -> DataFrame:
     """Union of all rendered sources (GroupBy.scala:624-669 union semantics),
     rows with all-null keys dropped (GroupBy.scala:640-642)."""
     cols = _input_columns(gb)
     dfs = [
-        render_source(spark, s, gb.key_columns, cols, gb.tie_breaker_column, time_range_ms)
+        render_source(spark, s, gb.key_columns, cols, gb.tie_breaker_column,
+                      time_range_ms, extra_selects)
         for s in gb.sources
     ]
     df = dfs[0]
@@ -172,46 +192,164 @@ def _as_numpy(s: pd.Series, dt: T.DataType) -> np.ndarray:
     return s.to_numpy(dtype=object)
 
 
-def _part_results(
-    part: AggregationPart,
-    ev: pd.DataFrame,
-    ev_ts: np.ndarray,
+# ---------------------------------------------------------------------------
+# chunk engine
+
+
+def _group_ids(pdf: pd.DataFrame, keys: list[str]) -> np.ndarray:
+    n = len(pdf)
+    change = np.zeros(n, dtype=bool)
+    for k in keys:
+        col = pdf[k].to_numpy()
+        change[1:] |= col[1:] != col[:-1]
+    return np.cumsum(change).astype(np.int64)
+
+
+def _window_bounds_enc(
+    enc_f: np.ndarray,
+    gid_q: np.ndarray,
     q_ts: np.ndarray,
-    input_type: T.DataType,
-) -> list:
-    """One aggregation part over one group's sorted events: null-filter the
-    input column (ColumnAggregator.scala null guards), compute [lo,hi) via
-    the sawtooth rule, run the numpy kernel. Buckets (BucketedColumnAggregator)
-    become per-bucket-value kernel runs assembled into dicts."""
-    col = ev[part.input_column]
-    mask = col.notna().to_numpy()
-    n_q = len(q_ts)
-    if part.bucket is None:
-        if not mask.any():
-            return [None] * n_q
-        vals = _as_numpy(col[mask], input_type)
-        ts_f = ev_ts[mask]
-        lo, hi = sawtooth.window_bounds(ts_f, q_ts, part.window)
-        return kernels.run_kernel(part, vals, ts_f, lo, hi)
-    bcol = ev[part.bucket]
-    mask = mask & bcol.notna().to_numpy()
-    out: list = [None] * n_q
-    if not mask.any():
-        return out
-    sub = ev[mask]
-    ts_m = ev_ts[mask]
-    vals_m = _as_numpy(sub[part.input_column], input_type)
-    bvals = sub[part.bucket].astype(str).to_numpy()
-    for bv in pd.unique(bvals):
-        bmask = bvals == bv
-        lo, hi = sawtooth.window_bounds(ts_m[bmask], q_ts, part.window)
-        res = kernels.run_kernel(part, vals_m[bmask], ts_m[bmask], lo, hi)
-        for i, r in enumerate(res):
-            if r is not None:
-                if out[i] is None:
-                    out[i] = {}
-                out[i][str(bv)] = r
-    return out
+    base: int,
+    part: AggregationPart,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sawtooth bounds over group-encoded time, all groups at once.
+
+    Window rule (the spec — NaiveAggregator.scala:42-48,
+    SawtoothAggregator.scala:106, HopsAggregator.scala:150-158):
+        round(T - w, tailHop(w)) <= e.ts <= T
+    """
+    q_enc = (gid_q << _SHIFT) + (q_ts - base)
+    hi = np.searchsorted(enc_f, q_enc, side="right")
+    if part.window is None:
+        lo = np.searchsorted(enc_f, gid_q << _SHIFT, side="left")
+    else:
+        hop = part.window.tail_hop_millis()
+        tail_abs = ((q_ts - part.window.millis) // hop) * hop
+        rel = np.maximum(tail_abs - base, 0)
+        lo = np.searchsorted(enc_f, (gid_q << _SHIFT) + rel, side="left")
+    return np.minimum(lo, hi), hi
+
+
+def _chunk_results(
+    pdf: pd.DataFrame,
+    parts: list[AggregationPart],
+    part_types: list[T.DataType],
+    keys: list[str],
+    passthrough: list[str],
+    self_mode: bool,
+) -> pd.DataFrame:
+    """pdf: one chunk of whole groups, sorted by (keys, ts, tie)."""
+    gid = _group_ids(pdf, keys)
+    ts = pdf[TS_COL].to_numpy(dtype=np.int64)
+    base = int(ts.min()) if len(ts) else 0
+    if self_mode:
+        is_q = np.ones(len(pdf), dtype=bool)
+        ev = pdf
+        gid_ev = gid
+        ts_ev = ts
+    else:
+        is_q = pdf[SIDE_COL].to_numpy() == 1
+        ev = pdf[~is_q]
+        gid_ev = gid[~is_q]
+        ts_ev = ts[~is_q]
+    qr = pdf if self_mode else pdf[is_q]
+    gid_q = gid if self_mode else gid[is_q]
+    q_ts = ts if self_mode else ts[is_q]
+    n_q = len(qr)
+
+    data: dict = {ROW_ID: qr[ROW_ID].to_numpy(dtype=np.int64)}
+    for c in passthrough:
+        data[c] = qr[c].to_numpy()
+    enc_ev = (gid_ev << _SHIFT) + (ts_ev - base)
+
+    for part, in_t in zip(parts, part_types):
+        col = ev[part.input_column]
+        mask = col.notna().to_numpy()
+        needs_values = part.operation != Operation.COUNT
+        if part.bucket is None:
+            if not mask.any():
+                data[part.output_name] = pd.Series([None] * n_q, dtype=object)
+                continue
+            # COUNT only needs the null mask — skip materializing values
+            # (string columns would allocate a Python object per row)
+            vals = _as_numpy(col[mask], in_t) if needs_values else None
+            enc_f = enc_ev[mask]
+            lo, hi = _window_bounds_enc(enc_f, gid_q, q_ts, base, part)
+            data[part.output_name] = pd.Series(
+                kernels.run_kernel(part, vals, enc_f, lo, hi), dtype=object
+            )
+        else:
+            bcol = ev[part.bucket]
+            bmask = mask & bcol.notna().to_numpy()
+            out: list = [None] * n_q
+            if bmask.any():
+                vals_all = _as_numpy(col[bmask], in_t) if needs_values else None
+                enc_all = enc_ev[bmask]
+                bvals = bcol[bmask].astype(str).to_numpy()
+                for bv in pd.unique(bvals):
+                    sel = bvals == bv
+                    lo, hi = _window_bounds_enc(enc_all[sel], gid_q, q_ts, base, part)
+                    vs = vals_all[sel] if vals_all is not None else None
+                    res = kernels.run_kernel(part, vs, enc_all[sel], lo, hi)
+                    sbv = str(bv)
+                    for i, r in enumerate(res):
+                        if r is not None:
+                            if out[i] is None:
+                                out[i] = {}
+                            out[i][sbv] = r
+            data[part.output_name] = pd.Series(out, dtype=object)
+    return pd.DataFrame(data)
+
+
+def _make_runner(parts, part_types, keys, fields, passthrough, self_mode):
+    """mapInPandas fn: re-chunk the sorted Arrow batches on group boundaries
+    so every group is processed whole, then run the vectorized chunk engine.
+    Peak memory = one Arrow batch + the largest single group (hot keys are
+    handled upstream by time-slice salting)."""
+
+    empty = {f.name: pd.Series(dtype=object) for f in fields}
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: Optional[pd.DataFrame] = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            # last group start = first index of the final key value
+            last_start = 0
+            n = len(pdf)
+            for k in keys:
+                col = pdf[k].to_numpy()
+                changes = np.flatnonzero(col[1:] != col[:-1]) + 1
+                if len(changes):
+                    last_start = max(last_start, int(changes[-1]))
+            if last_start == 0:
+                carry = pdf  # single (possibly incomplete) group — keep buffering
+                continue
+            carry = pdf.iloc[last_start:].reset_index(drop=True)
+            out = _chunk_results(pdf.iloc[:last_start], parts, part_types, keys,
+                                 passthrough, self_mode)
+            if len(out):
+                yield out
+        if carry is not None and len(carry):
+            yield _chunk_results(carry, parts, part_types, keys, passthrough, self_mode)
+        else:
+            yield pd.DataFrame(empty)
+
+    return runner
+
+
+def _output_schema(gb: GroupBy, ev_schema: dict, passthrough_fields: list[T.StructField]):
+    parts = gb.parts()
+    fields = [T.StructField(ROW_ID, T.LongType(), False), *passthrough_fields]
+    part_types: list[T.DataType] = []
+    for p in parts:
+        in_t = ev_schema[p.input_column]
+        part_types.append(in_t)
+        fields.append(output_field(p, in_t))
+    return parts, part_types, T.StructType(fields)
 
 
 def compute_group_by(
@@ -226,9 +364,7 @@ def compute_group_by(
     """Enrich each query row (keys…, ts) with gb's features as of its ts.
 
     queries: DataFrame with the (left-named) key columns, a time column, and
-    a unique ``row_id`` column. Returns (row_id, feature columns…).
-
-    Plan = union → single shuffle → applyInPandas (see module docstring).
+    a unique long ``row_id`` column. Returns (row_id, feature columns…).
     """
     # key_mapping maps left column -> right key (api.thrift:384-386)
     key_mapping = key_mapping or {}
@@ -258,35 +394,52 @@ def compute_group_by(
     q_u = q.withColumn(SIDE_COL, F.lit(1)).withColumn(TIE_COL, F.lit(0).cast("long"))
     union = ev_u.unionByName(q_u, allowMissingColumns=True)
 
-    parts = gb.parts()
-    fields = [T.StructField(ROW_ID, T.LongType(), False)]
-    part_types: list[T.DataType] = []
-    for p in parts:
-        in_t = ev_schema[p.input_column]
-        part_types.append(in_t)
-        fields.append(output_field(p, in_t))
-    out_schema = T.StructType(fields)
-    input_cols = _input_columns(gb)
+    parts, part_types, out_schema = _output_schema(gb, ev_schema, [])
+    fields = list(out_schema.fields)
 
-    def process(pdf: pd.DataFrame) -> pd.DataFrame:
-        is_q = pdf[SIDE_COL].to_numpy() == 1
-        qr = pdf[is_q]
-        if len(qr) == 0:
-            return pd.DataFrame({f.name: pd.Series(dtype=object) for f in fields})
-        ev_p = pdf[~is_q]
-        order = np.lexsort((ev_p[TIE_COL].to_numpy(dtype=np.int64),
-                            ev_p[TS_COL].to_numpy(dtype=np.int64)))
-        ev_p = ev_p.iloc[order]
-        ev_ts = ev_p[TS_COL].to_numpy(dtype=np.int64)
-        q_ts = qr[TS_COL].to_numpy(dtype=np.int64)
-        data: dict = {ROW_ID: qr[ROW_ID].to_numpy(dtype=np.int64)}
-        for p, in_t in zip(parts, part_types):
-            data[p.output_name] = pd.Series(
-                _part_results(p, ev_p, ev_ts, q_ts, in_t), dtype=object
-            )
-        return pd.DataFrame(data)
+    shuffled = union.repartition(num_partitions, *right_keys) if num_partitions else (
+        union.repartition(*right_keys))
+    arranged = shuffled.sortWithinPartitions(*right_keys, TS_COL, TIE_COL)
+    runner = _make_runner(parts, part_types, right_keys, fields, [], self_mode=False)
+    return arranged.mapInPandas(runner, schema=out_schema)
 
-    grouped = union
-    if num_partitions:
-        grouped = grouped.repartition(num_partitions, *right_keys)
-    return grouped.groupBy(*right_keys).applyInPandas(process, schema=out_schema).drop(*[])
+
+def compute_group_by_self(
+    spark: SparkSession,
+    gb: GroupBy,
+    row_id_expr: str,
+    passthrough: Optional[dict[str, str]] = None,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Self-enrichment fast path: every event row is also a query at its own
+    ts (the transcript-backfill shape: each turn gets its conversation's
+    point-in-time features). One scan, one shuffle — no union.
+
+    row_id_expr: SQL expression over the source producing a unique int64.
+    passthrough: extra output columns {name: SQL expr over the source}.
+    """
+    passthrough = passthrough or {}
+    already = set(gb.key_columns) | set(_input_columns(gb)) | (
+        {gb.tie_breaker_column} if gb.tie_breaker_column else set())
+    extra = {ROW_ID: row_id_expr,
+             **{n: e for n, e in passthrough.items() if n not in already}}
+    ev = events_df(spark, gb, extra_selects=extra)
+    ev_schema = dict(zip(ev.schema.names, [f.dataType for f in ev.schema.fields]))
+
+    tie = gb.tie_breaker_column
+    if tie:
+        ev = ev.withColumn(TIE_COL, F.coalesce(F.col(tie).cast("long"), F.lit(0)))
+    else:
+        ev = ev.withColumn(TIE_COL, F.lit(0).cast("long"))
+
+    right_keys = list(gb.key_columns)
+    pt_fields = [T.StructField(n, ev_schema[n], True) for n in passthrough]
+    parts, part_types, out_schema = _output_schema(gb, ev_schema, pt_fields)
+    fields = list(out_schema.fields)
+
+    shuffled = ev.repartition(num_partitions, *right_keys) if num_partitions else (
+        ev.repartition(*right_keys))
+    arranged = shuffled.sortWithinPartitions(*right_keys, TS_COL, TIE_COL)
+    runner = _make_runner(parts, part_types, right_keys, fields, list(passthrough),
+                          self_mode=True)
+    return arranged.mapInPandas(runner, schema=out_schema)

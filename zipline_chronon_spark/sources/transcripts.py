@@ -86,7 +86,8 @@ def generate_transcripts(
     tool = TOOLS[rng.integers(0, len(TOOLS), size=total)].astype(object)
     tool[rng.random(total) < null_tool_frac] = None
 
-    ts = pd.to_datetime(ts_ms, unit="ms", utc=True).tz_convert(None)
+    # microsecond resolution: Spark cannot read parquet TIMESTAMP(NANOS)
+    ts = pd.to_datetime(ts_ms, unit="ms", utc=True).tz_convert(None).astype("datetime64[us]")
     return pd.DataFrame(
         {
             "conv_id": conv_ids,
