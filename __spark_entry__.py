@@ -381,6 +381,196 @@ def o_join_flagship() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / text / similarity)
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+                               i -> substr(text, i, 3))) AS shingle
+  FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipline_chronon_spark.operators.dedup import exact_dup_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dup_groups(docs)
+
+
+def o_dedup_exact() -> str:
+    return """
+    WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+    g AS (SELECT content_hash, count(*) AS group_size, min(doc_id) AS canonical_id
+          FROM h GROUP BY 1)
+    SELECT h.doc_id, h.content_hash, g.group_size, g.canonical_id,
+           h.doc_id <> g.canonical_id AS is_duplicate
+    FROM h JOIN g USING (content_hash)
+    """
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipline_chronon_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, threshold=0.7)
+    return out.select("id_a", "id_b", "n_shared",
+                      F.round(F.col("jaccard") + F.lit(ROUND_EPS), 6).alias("jaccard"))
+
+
+def o_dedup_ngram_jaccard() -> str:
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT id_a, id_b, n_shared,
+           round(n_shared * 1.0 / (na.n_sh + nb.n_sh - n_shared) + 0.0000001, 6) AS jaccard
+    FROM shared JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+    WHERE n_shared * 1.0 / (na.n_sh + nb.n_sh - n_shared) >= 0.7
+    """
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipline_chronon_spark.operators.dedup import minhash_signature
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_signature(docs, num_hashes=8)
+
+
+def o_dedup_minhash_sig() -> str:
+    mins = ", ".join(f"min(md5('{i}:' || shingle))" for i in range(8))
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT doc_id, [{mins}] AS minhash FROM sh GROUP BY doc_id
+    """
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipline_chronon_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, num_hashes=8, band_size=4)
+
+
+def o_dedup_minhash_lsh() -> str:
+    mins = ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8))
+    bands = ", ".join(
+        "'%d' || '|' || %s" % (bi, " || '|' || ".join(f"h{4 * bi + j}" for j in range(4)))
+        for bi in range(2)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id, unnest([{bands}]) AS band_key FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64 is Spark-specific: rows-only check)."""
+    from zipline_chronon_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_pairs(docs, max_hamming=12)
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipline_chronon_spark.operators.text import with_text_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = with_text_features(docs)
+    return out.select(
+        "doc_id", "n_chars_f", "n_tokens", "n_stopwords",
+        F.round(F.col("punct_ratio") + F.lit(ROUND_EPS), 6).alias("punct_ratio"),
+        F.round(F.col("stopword_ratio") + F.lit(ROUND_EPS), 6).alias("stopword_ratio"),
+        F.round(F.col("quality_score") + F.lit(ROUND_EPS), 6).alias("quality_score"),
+        "lang_pred",
+    )
+
+
+def o_text_features() -> str:
+    from zipline_chronon_spark.operators.text import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars_f,
+             len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> list_contains([{stop}], lower(t))))::BIGINT AS n_stopwords,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::BIGINT AS n_punct
+      FROM documents
+    ), r AS (
+      SELECT *, n_punct * 1.0 / greatest(n_chars_f, 1) AS punct_ratio,
+             n_stopwords * 1.0 / greatest(n_tokens, 1) AS stopword_ratio
+      FROM f
+    )
+    SELECT doc_id, n_chars_f, n_tokens, n_stopwords,
+           round(punct_ratio + 0.0000001, 6) AS punct_ratio,
+           round(stopword_ratio + 0.0000001, 6) AS stopword_ratio,
+           round(least(n_tokens / 50.0, 1.0) * 0.5
+                 + (1.0 - least(punct_ratio * 5, 1.0)) * 0.25
+                 + least(stopword_ratio * 4, 1.0) * 0.25 + 0.0000001, 6) AS quality_score,
+           CASE WHEN n_stopwords >= 1 THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM r
+    """
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipline_chronon_spark.operators.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", fingerprint("text", 5).alias("fp"))
+
+
+def o_fingerprint() -> str:
+    return """
+    SELECT doc_id,
+           list_min(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                                   i -> md5(substr(text, i, 5)))) AS fp
+    FROM documents
+    """
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipline_chronon_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = brute_force_topk(emb, k=3)
+    return out.select("vec_id", "neighbor_id", "rank",
+                      F.round(F.col("sim") + F.lit(ROUND_EPS), 6).alias("sim"))
+
+
+def o_ann_cosine_topk() -> str:
+    return """
+    WITH p AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rk
+      FROM p
+    )
+    SELECT vec_id, neighbor_id, rk::INT AS rank, round(sim + 0.0000001, 6) AS sim
+    FROM r WHERE rk <= 3
+    """
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (bucket boundaries are seed-dependent: rows-only)."""
+    from zipline_chronon_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucketed_topk(emb, k=3, n_planes=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship point-in-time Join over sf0.001 (driver smoke check)."""
     return q_join_flagship(spark, "/root/testdata/sf0.001")
@@ -396,6 +586,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
         "join_flagship": q_join_flagship,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_features": q_text_features,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
@@ -409,4 +608,12 @@ def oracle_sql() -> dict[str, str]:
         "lag_lead": o_lag_lead(),
         "sessionize": o_sessionize(),
         "join_flagship": o_join_flagship(),
+        "dedup_exact": o_dedup_exact(),
+        "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
+        "dedup_minhash_sig": o_dedup_minhash_sig(),
+        "dedup_minhash_lsh": o_dedup_minhash_lsh(),
+        "text_features": o_text_features(),
+        "fingerprint": o_fingerprint(),
+        "ann_cosine_topk": o_ann_cosine_topk(),
+        # dedup_simhash / ann_lsh_topk: hash/seed-specific -> rows-only check
     }

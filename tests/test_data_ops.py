@@ -1,0 +1,75 @@
+"""Properties of the training-data pipeline operators (dedup / similarity)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from zipline_chronon_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different words entirely here now"),
+        (4, "spark window aggregation engine benchmark test"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r for r in dedup.exact_dup_groups(docs).collect()}
+    assert out[0]["group_size"] == 2 and out[1]["group_size"] == 2
+    assert out[1]["is_duplicate"] and not out[0]["is_duplicate"]
+    assert out[1]["canonical_id"] == 0
+    assert out[2]["group_size"] == 1
+
+
+def test_minhash_identical_docs_identical_sig(docs):
+    sigs = {r["doc_id"]: tuple(r["minhash"]) for r in dedup.minhash_signature(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+
+
+def test_simhash_hamming(docs):
+    s = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert s[0] == s[1]  # identical text -> identical simhash
+    near = bin(s[0] ^ s[2]).count("1")
+    far = bin(s[0] ^ s[3]).count("1")
+    assert near < far  # one-word change closer than unrelated text
+
+
+def test_ngram_jaccard_ordering(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] > pairs.get((0, 3), 0.0)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_lsh_vs_brute_force(embeddings):
+    brute = dedup_pairs = similarity.brute_force_topk(embeddings, k=3).toPandas()
+    lsh = similarity.lsh_bucketed_topk(embeddings, k=3, n_planes=3).toPandas()
+    # 1) every LSH-scored pair carries the exact cosine (same scorer)
+    bmap = {(r.vec_id, r.neighbor_id): r.sim for r in brute.itertuples()}
+    checked = 0
+    for r in lsh.itertuples():
+        if (r.vec_id, r.neighbor_id) in bmap:
+            assert abs(bmap[(r.vec_id, r.neighbor_id)] - r.sim) < 1e-9
+            checked += 1
+    assert checked > 0
+    # 2) recall@3 is meaningfully above random (3 planes -> 8 buckets)
+    bset = set(zip(brute.vec_id, brute.neighbor_id))
+    lset = set(zip(lsh.vec_id, lsh.neighbor_id))
+    recall = len(bset & lset) / len(bset)
+    n = embeddings.count()
+    random_recall = 3 / (n - 1)
+    assert recall > 5 * random_recall, (recall, random_recall)
