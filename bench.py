@@ -94,7 +94,7 @@ def flagship_backfill(spark, path: str):
     # each turn is a query point at its own ts: self-enrichment fast path
     out = compute_group_by_self(
         spark, gb,
-        row_id_expr="xxhash64(conv_id) + cast(turn_idx as long)",
+        row_id_expr="xxhash64(conv_id, turn_idx)",
         passthrough={"conv_id": "conv_id", "turn_idx": "turn_idx"},
     )
     # count() forces full computation without collecting feature payloads

@@ -236,25 +236,32 @@ def _chunk_results(
     part_types: list[T.DataType],
     keys: list[str],
     passthrough: list[str],
-    self_mode: bool,
+    query_range_ms: Optional[tuple[int, int]] = None,
 ) -> pd.DataFrame:
-    """pdf: one chunk of whole groups, sorted by (keys, ts, tie)."""
+    """pdf: one chunk of whole groups, sorted by (keys, ts, tie).
+
+    query_range_ms [lo, hi): in self mode, rows outside the range still act
+    as events (window lookback across backfill chunk boundaries) but emit no
+    feature row — the chunked-backfill contract (reference analogue:
+    PartitionRange steps, GroupBy.scala:898-921)."""
     gid = _group_ids(pdf, keys)
     ts = pdf[TS_COL].to_numpy(dtype=np.int64)
     base = int(ts.min()) if len(ts) else 0
-    if self_mode:
-        is_q = np.ones(len(pdf), dtype=bool)
-        ev = pdf
-        gid_ev = gid
-        ts_ev = ts
+    # SIDE tri-state: 0 = event only (incl. salt replicas / lookback rows),
+    # 1 = query only (union-mode left rows), 2 = both (self-enrichment)
+    side = pdf[SIDE_COL].to_numpy()
+    is_ev = side != 1
+    is_q = side >= 1
+    if query_range_ms is not None:
+        is_q = is_q & (ts >= query_range_ms[0]) & (ts < query_range_ms[1])
+    if is_ev.all():
+        ev, gid_ev, ts_ev = pdf, gid, ts
     else:
-        is_q = pdf[SIDE_COL].to_numpy() == 1
-        ev = pdf[~is_q]
-        gid_ev = gid[~is_q]
-        ts_ev = ts[~is_q]
-    qr = pdf if self_mode else pdf[is_q]
-    gid_q = gid if self_mode else gid[is_q]
-    q_ts = ts if self_mode else ts[is_q]
+        ev, gid_ev, ts_ev = pdf[is_ev], gid[is_ev], ts[is_ev]
+    if is_q.all():
+        qr, gid_q, q_ts = pdf, gid, ts
+    else:
+        qr, gid_q, q_ts = pdf[is_q], gid[is_q], ts[is_q]
     n_q = len(qr)
 
     data: dict = {ROW_ID: qr[ROW_ID].to_numpy(dtype=np.int64)}
@@ -301,7 +308,8 @@ def _chunk_results(
     return pd.DataFrame(data)
 
 
-def _make_runner(parts, part_types, keys, fields, passthrough, self_mode):
+def _make_runner(parts, part_types, keys, fields, passthrough,
+                 query_range_ms=None):
     """mapInPandas fn: re-chunk the sorted Arrow batches on group boundaries
     so every group is processed whole, then run the vectorized chunk engine.
     Peak memory = one Arrow batch + the largest single group (hot keys are
@@ -330,11 +338,12 @@ def _make_runner(parts, part_types, keys, fields, passthrough, self_mode):
                 continue
             carry = pdf.iloc[last_start:].reset_index(drop=True)
             out = _chunk_results(pdf.iloc[:last_start], parts, part_types, keys,
-                                 passthrough, self_mode)
+                                 passthrough, query_range_ms)
             if len(out):
                 yield out
         if carry is not None and len(carry):
-            yield _chunk_results(carry, parts, part_types, keys, passthrough, self_mode)
+            yield _chunk_results(carry, parts, part_types, keys, passthrough,
+                                 query_range_ms)
         else:
             yield pd.DataFrame(empty)
 
@@ -400,8 +409,11 @@ def compute_group_by(
     shuffled = union.repartition(num_partitions, *right_keys) if num_partitions else (
         union.repartition(*right_keys))
     arranged = shuffled.sortWithinPartitions(*right_keys, TS_COL, TIE_COL)
-    runner = _make_runner(parts, part_types, right_keys, fields, [], self_mode=False)
+    runner = _make_runner(parts, part_types, right_keys, fields, [])
     return arranged.mapInPandas(runner, schema=out_schema)
+
+
+SALT_COL = "__salt"
 
 
 def compute_group_by_self(
@@ -410,6 +422,11 @@ def compute_group_by_self(
     row_id_expr: str,
     passthrough: Optional[dict[str, str]] = None,
     num_partitions: Optional[int] = None,
+    time_range_ms: Optional[tuple[Optional[int], Optional[int]]] = None,
+    query_range_ms: Optional[tuple[int, int]] = None,
+    salt_slice_ms: Optional[int] = None,
+    hot_keys: Optional[list] = None,
+    hot_key_threshold: Optional[int] = None,
 ) -> DataFrame:
     """Self-enrichment fast path: every event row is also a query at its own
     ts (the transcript-backfill shape: each turn gets its conversation's
@@ -417,13 +434,22 @@ def compute_group_by_self(
 
     row_id_expr: SQL expression over the source producing a unique int64.
     passthrough: extra output columns {name: SQL expr over the source}.
+
+    Hot-key time-slice salting (north-rule skew splitting; the reference
+    only *excludes* skew keys, JoinUtils.scala:331-383 — splitting is legal
+    here because window lookback is bounded):
+      salt_slice_ms + (hot_keys | hot_key_threshold) splits each hot key's
+      timeline into slices; every query lands in its home slice, and each
+      event is replicated into the slices it can still influence
+      (ts .. ts + maxWindow + maxTailHop). Replication factor =
+      1 + ceil((maxW + hop) / slice). Requires all windows bounded.
     """
     passthrough = passthrough or {}
     already = set(gb.key_columns) | set(_input_columns(gb)) | (
         {gb.tie_breaker_column} if gb.tie_breaker_column else set())
     extra = {ROW_ID: row_id_expr,
              **{n: e for n, e in passthrough.items() if n not in already}}
-    ev = events_df(spark, gb, extra_selects=extra)
+    ev = events_df(spark, gb, time_range_ms=time_range_ms, extra_selects=extra)
     ev_schema = dict(zip(ev.schema.names, [f.dataType for f in ev.schema.fields]))
 
     tie = gb.tie_breaker_column
@@ -431,15 +457,51 @@ def compute_group_by_self(
         ev = ev.withColumn(TIE_COL, F.coalesce(F.col(tie).cast("long"), F.lit(0)))
     else:
         ev = ev.withColumn(TIE_COL, F.lit(0).cast("long"))
+    ev = ev.withColumn(SIDE_COL, F.lit(2))
 
     right_keys = list(gb.key_columns)
+    group_keys = list(right_keys)
+
+    if salt_slice_ms is not None:
+        max_w = gb.max_window_millis()
+        if max_w is None:
+            raise ValueError(
+                "time-slice salting requires all windows bounded "
+                "(an unbounded window needs the whole key history)")
+        max_hop = max(p.window.tail_hop_millis() for p in gb.parts())
+        slack = max_w + max_hop
+        if hot_keys is None:
+            if hot_key_threshold is None:
+                raise ValueError("pass hot_keys or hot_key_threshold with salt_slice_ms")
+            hot_keys = [
+                r[0] for r in ev.groupBy(*right_keys).count()
+                .where(F.col("count") > hot_key_threshold).select(*right_keys).collect()
+            ]
+        home = (F.col(TS_COL) / F.lit(salt_slice_ms)).cast("long")
+        if hot_keys:
+            is_hot = F.col(right_keys[0]).isin(list(hot_keys)) if len(right_keys) == 1 else (
+                F.struct(*right_keys).isin(list(hot_keys)))
+            cold = ev.where(~is_hot).withColumn(SALT_COL, F.lit(0).cast("long"))
+            last_slice = ((F.col(TS_COL) + F.lit(slack)) / F.lit(salt_slice_ms)).cast("long")
+            hot = (
+                ev.where(is_hot)
+                .withColumn(SALT_COL, F.explode(F.sequence(home, last_slice)))
+                # replicas beyond the home slice are events only (no output row)
+                .withColumn(SIDE_COL, F.when(F.col(SALT_COL) == home, F.lit(2)).otherwise(F.lit(0)))
+                .withColumn(ROW_ID, F.when(F.col(SALT_COL) == home, F.col(ROW_ID)).otherwise(F.lit(0)))
+            )
+            ev = cold.unionByName(hot)
+        else:
+            ev = ev.withColumn(SALT_COL, F.lit(0).cast("long"))
+        group_keys = right_keys + [SALT_COL]
+
     pt_fields = [T.StructField(n, ev_schema[n], True) for n in passthrough]
     parts, part_types, out_schema = _output_schema(gb, ev_schema, pt_fields)
     fields = list(out_schema.fields)
 
-    shuffled = ev.repartition(num_partitions, *right_keys) if num_partitions else (
-        ev.repartition(*right_keys))
-    arranged = shuffled.sortWithinPartitions(*right_keys, TS_COL, TIE_COL)
-    runner = _make_runner(parts, part_types, right_keys, fields, list(passthrough),
-                          self_mode=True)
+    shuffled = ev.repartition(num_partitions, *group_keys) if num_partitions else (
+        ev.repartition(*group_keys))
+    arranged = shuffled.sortWithinPartitions(*group_keys, TS_COL, TIE_COL)
+    runner = _make_runner(parts, part_types, group_keys, fields, list(passthrough),
+                          query_range_ms=query_range_ms)
     return arranged.mapInPandas(runner, schema=out_schema)
