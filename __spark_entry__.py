@@ -571,6 +571,78 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, k=3, n_planes=3)
 
 
+def q_snapshot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT (daily) accuracy: per (user, day) features over calendar-day
+    windows ending at end-of-day (GroupBy.snapshotEvents semantics)."""
+    from zipline_chronon_spark.api import Accuracy
+    from zipline_chronon_spark.operators.pit_join import compute_snapshot
+
+    gb = GroupBy(
+        name="snapd",
+        sources=(_events_source(sf_dir),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.COUNT, windows=(W7D, None)),
+            Aggregation("value", Operation.SUM, windows=(W7D,)),
+        ),
+        accuracy=Accuracy.SNAPSHOT,
+        tie_breaker_column="event_id",
+    )
+    out = compute_snapshot(spark, gb)
+    return out.select(
+        "user_id", "ds",
+        F.col("value_count_7d").alias("cnt_7d"),
+        F.col("value_count").alias("cnt_all"),
+        F.round(F.col("value_sum_7d") + F.lit(ROUND_EPS), 4).alias("sum_7d"),
+    )
+
+
+def o_snapshot_daily() -> str:
+    return """
+    WITH days AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+    j AS (
+      SELECT q.user_id, q.day, e.value AS v, epoch_ms(e.ts) AS ets
+      FROM days q LEFT JOIN events e
+        ON e.user_id = q.user_id AND epoch_ms(e.ts) < (q.day + 1) * 86400000
+    )
+    SELECT user_id,
+           strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS ds,
+           CASE WHEN count(v) FILTER (WHERE ets >= (day + 1 - 7) * 86400000) = 0 THEN NULL
+                ELSE count(v) FILTER (WHERE ets >= (day + 1 - 7) * 86400000) END AS cnt_7d,
+           CASE WHEN count(v) = 0 THEN NULL ELSE count(v) END AS cnt_all,
+           round(sum(v) FILTER (WHERE ets >= (day + 1 - 7) * 86400000) + 0.0000001, 4) AS sum_7d
+    FROM j GROUP BY user_id, day
+    """
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity) + 0.0000001, 4) AS sum_qty,
+       count(*) AS n,
+       round(avg(l_quantity) + 0.0000001, 4) AS avg_qty,
+       round(avg(l_extendedprice * (1 - l_discount)) + 0.0000001, 4) AS avg_disc_price
+FROM {table}
+WHERE l_shipdate >= '{{{{ start_date }}}}' AND l_shipdate < '{{{{ end_date }}}}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_staging_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StagingQuery: free-form SQL with rendered date macros (TPC-H-Q1-ish)."""
+    from zipline_chronon_spark.plans.staging import StagingQuery, run
+
+    sq = StagingQuery(
+        name="pricing",
+        query=_PRICING_SQL.format(table=f"parquet.`{sf_dir}/lineitem.parquet`"),
+    )
+    return run(spark, sq, "1999-01-01", "2001-01-01")
+
+
+def o_staging_pricing() -> str:
+    return _PRICING_SQL.format(table="lineitem").replace(
+        "{{ start_date }}", "1999-01-01").replace("{{ end_date }}", "2001-01-01")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship point-in-time Join over sf0.001 (driver smoke check)."""
     return q_join_flagship(spark, "/root/testdata/sf0.001")
@@ -595,6 +667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "snapshot_daily": q_snapshot_daily,
+        "staging_pricing": q_staging_pricing,
     }
 
 
@@ -615,5 +689,7 @@ def oracle_sql() -> dict[str, str]:
         "text_features": o_text_features(),
         "fingerprint": o_fingerprint(),
         "ann_cosine_topk": o_ann_cosine_topk(),
+        "snapshot_daily": o_snapshot_daily(),
+        "staging_pricing": o_staging_pricing(),
         # dedup_simhash / ann_lsh_topk: hash/seed-specific -> rows-only check
     }

@@ -69,6 +69,16 @@ def _widen(dt: T.DataType) -> T.DataType:
 
 def output_field(part: AggregationPart, input_type: T.DataType) -> T.StructField:
     op = part.operation
+    # input-shape dispatch (ColumnAggregator.scala:225-246): vector input
+    # auto-explodes to elements; map input aggregates per map key and wraps
+    # the output in map<string, out>
+    map_input = isinstance(input_type, T.MapType)
+    if map_input:
+        if part.bucket is not None:
+            raise NotImplementedError("bucketing a map-typed input column")
+        input_type = input_type.valueType
+    if isinstance(input_type, T.ArrayType):
+        input_type = input_type.elementType
     if op in (Operation.COUNT, Operation.UNIQUE_COUNT, Operation.APPROX_UNIQUE_COUNT):
         out: T.DataType = T.LongType()
     elif op == Operation.SUM:
@@ -86,7 +96,7 @@ def output_field(part: AggregationPart, input_type: T.DataType) -> T.StructField
         out = T.ArrayType(T.DoubleType())
     else:
         raise NotImplementedError(f"operation {op}")
-    if part.bucket is not None:
+    if part.bucket is not None or map_input:
         out = T.MapType(T.StringType(), out)
     return T.StructField(part.output_name, out, True)
 
@@ -211,20 +221,28 @@ def _window_bounds_enc(
     q_ts: np.ndarray,
     base: int,
     part: AggregationPart,
+    snapshot: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sawtooth bounds over group-encoded time, all groups at once.
 
-    Window rule (the spec — NaiveAggregator.scala:42-48,
+    TEMPORAL rule (the spec — NaiveAggregator.scala:42-48,
     SawtoothAggregator.scala:106, HopsAggregator.scala:150-158):
         round(T - w, tailHop(w)) <= e.ts <= T
+    SNAPSHOT rule (daily; GroupByTest.scala:105-118 golden SQL,
+    GroupBy.scala:967-971 updateWindowed(partitionTs + spanMillis)): with
+    T = end-of-day(ds) - 1ms, window covers [T + 1 - w, T] — i.e. d calendar
+    days ending at eod(ds), no hop rounding (already day-aligned).
     """
     q_enc = (gid_q << _SHIFT) + (q_ts - base)
     hi = np.searchsorted(enc_f, q_enc, side="right")
     if part.window is None:
         lo = np.searchsorted(enc_f, gid_q << _SHIFT, side="left")
     else:
-        hop = part.window.tail_hop_millis()
-        tail_abs = ((q_ts - part.window.millis) // hop) * hop
+        if snapshot:
+            tail_abs = q_ts + 1 - part.window.millis
+        else:
+            hop = part.window.tail_hop_millis()
+            tail_abs = ((q_ts - part.window.millis) // hop) * hop
         rel = np.maximum(tail_abs - base, 0)
         lo = np.searchsorted(enc_f, (gid_q << _SHIFT) + rel, side="left")
     return np.minimum(lo, hi), hi
@@ -237,6 +255,7 @@ def _chunk_results(
     keys: list[str],
     passthrough: list[str],
     query_range_ms: Optional[tuple[int, int]] = None,
+    snapshot: bool = False,
 ) -> pd.DataFrame:
     """pdf: one chunk of whole groups, sorted by (keys, ts, tie).
 
@@ -273,15 +292,55 @@ def _chunk_results(
         col = ev[part.input_column]
         mask = col.notna().to_numpy()
         needs_values = part.operation != Operation.COUNT
+        if isinstance(in_t, T.MapType):
+            # map input: aggregate per map key -> map<key, out> (like a
+            # bucket whose value rides along in the same cell)
+            out: list = [None] * n_q
+            if mask.any():
+                items = col[mask]
+                lens = items.map(len).to_numpy(dtype=np.int64)
+                enc_rep = np.repeat(enc_ev[mask], lens)
+                mkeys = np.array([str(k) for d in items for k in d], dtype=object)
+                mvals = pd.Series([v for d in items for v in d.values()])
+                vmask = mvals.notna().to_numpy()
+                enc_rep, mkeys = enc_rep[vmask], mkeys[vmask]
+                mvals = mvals[vmask]
+                for mk in pd.unique(mkeys):
+                    sel = mkeys == mk
+                    vs = _as_numpy(mvals[sel], in_t.valueType) if needs_values else None
+                    lo, hi = _window_bounds_enc(enc_rep[sel], gid_q, q_ts, base, part, snapshot)
+                    res = kernels.run_kernel(part, vs, enc_rep[sel], lo, hi)
+                    for i, r in enumerate(res):
+                        if r is not None:
+                            if out[i] is None:
+                                out[i] = {}
+                            out[i][mk] = r
+            data[part.output_name] = pd.Series(out, dtype=object)
+            continue
         if part.bucket is None:
             if not mask.any():
                 data[part.output_name] = pd.Series([None] * n_q, dtype=object)
                 continue
             # COUNT only needs the null mask — skip materializing values
             # (string columns would allocate a Python object per row)
-            vals = _as_numpy(col[mask], in_t) if needs_values else None
-            enc_f = enc_ev[mask]
-            lo, hi = _window_bounds_enc(enc_f, gid_q, q_ts, base, part)
+            if isinstance(in_t, T.ArrayType):
+                # vector input: explode elements, repeat the encoded time
+                lists = col[mask]
+                lens = lists.map(len).to_numpy(dtype=np.int64)
+                enc_f = np.repeat(enc_ev[mask], lens)
+                flat = pd.Series(
+                    [v for x in lists for v in x], dtype=object
+                )
+                fmask = flat.notna().to_numpy()
+                enc_f = enc_f[fmask]
+                if not len(enc_f):
+                    data[part.output_name] = pd.Series([None] * n_q, dtype=object)
+                    continue
+                vals = _as_numpy(flat[fmask], in_t.elementType) if needs_values else None
+            else:
+                vals = _as_numpy(col[mask], in_t) if needs_values else None
+                enc_f = enc_ev[mask]
+            lo, hi = _window_bounds_enc(enc_f, gid_q, q_ts, base, part, snapshot)
             data[part.output_name] = pd.Series(
                 kernels.run_kernel(part, vals, enc_f, lo, hi), dtype=object
             )
@@ -295,7 +354,7 @@ def _chunk_results(
                 bvals = bcol[bmask].astype(str).to_numpy()
                 for bv in pd.unique(bvals):
                     sel = bvals == bv
-                    lo, hi = _window_bounds_enc(enc_all[sel], gid_q, q_ts, base, part)
+                    lo, hi = _window_bounds_enc(enc_all[sel], gid_q, q_ts, base, part, snapshot)
                     vs = vals_all[sel] if vals_all is not None else None
                     res = kernels.run_kernel(part, vs, enc_all[sel], lo, hi)
                     sbv = str(bv)
@@ -309,7 +368,7 @@ def _chunk_results(
 
 
 def _make_runner(parts, part_types, keys, fields, passthrough,
-                 query_range_ms=None):
+                 query_range_ms=None, snapshot=False):
     """mapInPandas fn: re-chunk the sorted Arrow batches on group boundaries
     so every group is processed whole, then run the vectorized chunk engine.
     Peak memory = one Arrow batch + the largest single group (hot keys are
@@ -338,12 +397,12 @@ def _make_runner(parts, part_types, keys, fields, passthrough,
                 continue
             carry = pdf.iloc[last_start:].reset_index(drop=True)
             out = _chunk_results(pdf.iloc[:last_start], parts, part_types, keys,
-                                 passthrough, query_range_ms)
+                                 passthrough, query_range_ms, snapshot)
             if len(out):
                 yield out
         if carry is not None and len(carry):
             yield _chunk_results(carry, parts, part_types, keys, passthrough,
-                                 query_range_ms)
+                                 query_range_ms, snapshot)
         else:
             yield pd.DataFrame(empty)
 
@@ -409,7 +468,10 @@ def compute_group_by(
     shuffled = union.repartition(num_partitions, *right_keys) if num_partitions else (
         union.repartition(*right_keys))
     arranged = shuffled.sortWithinPartitions(*right_keys, TS_COL, TIE_COL)
-    runner = _make_runner(parts, part_types, right_keys, fields, [])
+    from zipline_chronon_spark.api import Accuracy
+
+    runner = _make_runner(parts, part_types, right_keys, fields, [],
+                          snapshot=(gb.accuracy == Accuracy.SNAPSHOT))
     return arranged.mapInPandas(runner, schema=out_schema)
 
 
@@ -502,6 +564,43 @@ def compute_group_by_self(
     shuffled = ev.repartition(num_partitions, *group_keys) if num_partitions else (
         ev.repartition(*group_keys))
     arranged = shuffled.sortWithinPartitions(*group_keys, TS_COL, TIE_COL)
+    from zipline_chronon_spark.api import Accuracy
+
     runner = _make_runner(parts, part_types, group_keys, fields, list(passthrough),
-                          query_range_ms=query_range_ms)
+                          query_range_ms=query_range_ms,
+                          snapshot=(gb.accuracy == Accuracy.SNAPSHOT))
     return arranged.mapInPandas(runner, schema=out_schema)
+
+
+def compute_snapshot(
+    spark: SparkSession,
+    gb: GroupBy,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """SNAPSHOT (daily) accuracy backfill: one output row per (key, ds) for
+    every day each key has events, features computed over d calendar days
+    ending at end-of-day(ds) (GroupBy.snapshotEvents, GroupBy.scala:164-191;
+    golden SQL GroupByTest.scala:105-118)."""
+    import dataclasses
+
+    from zipline_chronon_spark.api import Accuracy
+
+    gb_snap = dataclasses.replace(gb, accuracy=Accuracy.SNAPSHOT)
+    ev = events_df(spark, gb_snap)
+    day = (F.col(TS_COL) / F.lit(86_400_000)).cast("long")
+    q = (
+        ev.select(*gb.key_columns, day.alias("__day"))
+        .distinct()
+        .select(
+            *gb.key_columns,
+            F.date_format((F.col("__day") * 86_400_000 / 1000).cast("timestamp"),
+                          "yyyy-MM-dd").alias("ds"),
+            (F.col("__day") * 86_400_000 + 86_399_999).alias("__q_ts"),
+            F.xxhash64(*gb.key_columns, F.col("__day")).alias(ROW_ID),
+        )
+    )
+    feats = compute_group_by(
+        spark, gb_snap, q, row_id=ROW_ID, query_time_col="__q_ts",
+        num_partitions=num_partitions,
+    )
+    return q.join(feats, ROW_ID).drop(ROW_ID, "__q_ts")
