@@ -1,0 +1,119 @@
+"""Physical-plan guarantees (pushdown, pruning, semi-join) + analyzer."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests import specs
+from zipline_chronon_spark.api import (
+    Aggregation,
+    EventSource,
+    GroupBy,
+    Join,
+    JoinPart,
+    Operation,
+    Query,
+)
+from zipline_chronon_spark.operators import pit_join
+from zipline_chronon_spark.plans.analyzer import analyze_group_by, analyze_join
+from zipline_chronon_spark.sources.transcripts import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def tpath(spark, tmp_path_factory):
+    pdf = generate_transcripts(n_convs=8, avg_turns=15, n_days=4, seed=41)
+    p = str(tmp_path_factory.mktemp("plan") / "t.parquet")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(p)
+    return p
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_and_pruning(spark, tpath):
+    gb = GroupBy(
+        name="pp",
+        sources=(EventSource(
+            table=tpath,
+            query=Query(selects={"conv_id": "conv_id", "len_text": "length(text)"},
+                        wheres=("role = 'user'",), time_column="ts"),
+        ),),
+        key_columns=("conv_id",),
+        aggregations=(Aggregation("len_text", Operation.SUM, windows=(specs.W1D,)),),
+    )
+    ev = pit_join.events_df(spark, gb, time_range_ms=(1_700_000_000_000, None))
+    plan = _physical(ev)
+    # filter pushed to the parquet scan
+    assert "PushedFilters:" in plan
+    assert "EqualTo(role,user)" in plan, plan
+    # column pruning: ds/tool/turn_idx never read
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "tool" not in read_schema and "ds" not in read_schema
+    for col in ("conv_id", "text", "ts", "role"):
+        assert col in read_schema
+
+
+def test_semi_join_prefilter_in_plan(spark, tpath):
+    gb = GroupBy(
+        name="semi",
+        sources=(specs.transcripts_source(tpath),),
+        key_columns=("conv_id",),
+        aggregations=(Aggregation("len_text", Operation.SUM, windows=(specs.W1D,)),),
+    )
+    left = (
+        spark.read.parquet(tpath).where("conv_id = 'conv_000001'")
+        .select("conv_id", "ts").withColumn("__row_id", F.monotonically_increasing_id())
+    )
+    out = pit_join.compute_group_by(spark, gb, left, row_id="__row_id")
+    plan = _physical(out)
+    assert "LeftSemi" in plan, "events scan should be semi-filtered by left keys"
+    rows = out.count()
+    left_n = left.count()
+    assert rows == left_n
+
+
+def test_analyzer_groupby(spark, tpath):
+    good = specs.convo_features(tpath)
+    rep = analyze_group_by(spark, good)
+    assert rep.ok, rep.errors
+    assert rep.key_schema == {"conv_id": "string"}
+    assert rep.output_schema["text_count_1d"] == "bigint"
+    assert rep.output_schema["len_text_sum_1d_by_role"] == "map<string,bigint>"
+
+    bad = dataclasses.replace(
+        good,
+        aggregations=(Aggregation("nope", Operation.SUM),),
+    )
+    rep2 = analyze_group_by(spark, bad)
+    assert not rep2.ok
+
+    # aggregating a raw timestamp is rejected with guidance
+    ts_agg = GroupBy(
+        name="tsagg",
+        sources=(EventSource(table=tpath, query=Query(time_column="ts")),),
+        key_columns=("conv_id",),
+        aggregations=(Aggregation("ts", Operation.MAX),),
+    )
+    rep3 = analyze_group_by(spark, ts_agg)
+    assert any("cannot be aggregated" in e for e in rep3.errors)
+
+
+def test_analyzer_join(spark, tpath):
+    gb = GroupBy(
+        name="g",
+        sources=(specs.transcripts_source(tpath),),
+        key_columns=("conv_id",),
+        aggregations=(Aggregation("len_text", Operation.SUM, windows=(specs.W1D,)),),
+    )
+    join = Join(
+        name="j",
+        left=EventSource(table=tpath, query=Query(time_column="ts")),
+        parts=(JoinPart(gb), JoinPart(gb, key_mapping=(("missing_col", "conv_id"),), prefix="x")),
+    )
+    rep = analyze_join(spark, join)
+    assert any("missing on left" in e for e in rep.errors)
+    assert "g_len_text_sum_1d" in rep.output_schema

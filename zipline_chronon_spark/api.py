@@ -263,6 +263,17 @@ class JoinPart:
 
 
 @dataclass(frozen=True)
+class BootstrapPart:
+    """Precomputed table left-joined onto the left to pre-fill feature
+    columns (skipping recomputation wins via coalesce precedence).
+    api.thrift:442-449, batch/JoinBootstrapJob.scala."""
+
+    table: str
+    key_columns: tuple[str, ...]  # join keys into the left (usually rowIds)
+    wheres: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
 class Join:
     """Left source enriched point-in-time-correctly with join parts.
     api.thrift:407-440."""
@@ -273,3 +284,4 @@ class Join:
     skew_keys: tuple[tuple[str, tuple[str, ...]], ...] = ()  # col -> excluded values
     derivations: tuple[Derivation, ...] = ()
     row_ids: tuple[str, ...] = ()
+    bootstrap_parts: tuple[BootstrapPart, ...] = ()

@@ -83,7 +83,16 @@ def compute_join(
         rid = F.xxhash64(*join.row_ids)
         left = left.withColumn(ROW_ID, rid)
 
+    # bootstrap: pre-fill feature columns from precomputed tables; joined
+    # FIRST so the coalesce below gives bootstrap values precedence
+    # (JoinBootstrapJob.scala; coveringSet semantics via coalesce)
     out = left
+    for bp in join.bootstrap_parts:
+        bdf = pit_join._read_table(spark, bp.table)
+        for w in bp.wheres:
+            bdf = bdf.where(w)
+        out = out.join(bdf, list(bp.key_columns), "left")
+
     for part in join.parts:
         gb = part.group_by
         # push skew exclusion to the right side too (maps left col -> right key)
@@ -121,21 +130,17 @@ def compute_join(
         # coalescedJoin: on collision prefer the already-present (bootstrap)
         # value, else the freshly computed one (JoinUtils.scala:159-190)
         collisions = [c for c in renames.values() if c in out.columns]
+        for c in collisions:
+            part_df = part_df.withColumnRenamed(c, f"__fresh_{c}")
         out = out.join(part_df, ROW_ID, "left")
         for c in collisions:
-            out = out.withColumn(c, F.coalesce(out[c], part_df[c]))
+            out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__fresh_{c}"))).drop(f"__fresh_{c}")
 
     if join.derivations:
-        exprs: list = []
-        named = {d.name for d in join.derivations if d.name != "*"}
-        if any(d.name == "*" for d in join.derivations):
-            exprs.extend(F.col(c) for c in out.columns if c not in named and c != ROW_ID)
-        else:
-            exprs.extend(F.col(c) for c in (pit_join.TS_COL, *dict.fromkeys(
-                n for n in (join.left.query.selects or {}) if n in out.columns)))
-        for d in join.derivations:
-            if d.name != "*":
-                exprs.append(F.expr(d.expression).alias(d.name))
-        out = out.select(*exprs)
+        from zipline_chronon_spark.operators.derive import apply_derivations
+
+        keep = [pit_join.TS_COL, ROW_ID,
+                *dict.fromkeys(n for n in (join.left.query.selects or {}) if n in out.columns)]
+        out = apply_derivations(out, join.derivations, always_keep=keep)
 
     return out.drop(ROW_ID, pit_join.TS_COL) if minted else out.drop(pit_join.TS_COL)

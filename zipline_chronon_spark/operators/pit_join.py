@@ -428,11 +428,18 @@ def compute_group_by(
     key_mapping: Optional[dict[str, str]] = None,
     query_time_col: str = "ts",
     num_partitions: Optional[int] = None,
+    semi_filter: str = "semi_join",
 ) -> DataFrame:
     """Enrich each query row (keys…, ts) with gb's features as of its ts.
 
     queries: DataFrame with the (left-named) key columns, a time column, and
     a unique long ``row_id`` column. Returns (row_id, feature columns…).
+
+    semi_filter: prune the events scan to keys present on the left — the
+    reference's bloom/IN-list semi-join reduction (Extensions.scala:177-220,
+    JoinUtils.scala:234-285). "semi_join" = broadcast left-semi join on the
+    left's distinct keys (AQE decides the physical strategy); "off" = scan
+    everything (right when the left covers most keys anyway).
     """
     # key_mapping maps left column -> right key (api.thrift:384-386)
     key_mapping = key_mapping or {}
@@ -449,6 +456,8 @@ def compute_group_by(
         _time_to_millis(F.expr(query_time_col), q_time_dt).alias(TS_COL),
         F.col(row_id).alias(ROW_ID),
     )
+    if semi_filter == "semi_join":
+        ev = ev.join(F.broadcast(q.select(*right_keys).distinct()), right_keys, "left_semi")
 
     tie = gb.tie_breaker_column
     # NOTE: no nulls in ROW_ID/TIE_COL — a null would make Arrow hand pandas
@@ -469,10 +478,12 @@ def compute_group_by(
         union.repartition(*right_keys))
     arranged = shuffled.sortWithinPartitions(*right_keys, TS_COL, TIE_COL)
     from zipline_chronon_spark.api import Accuracy
+    from zipline_chronon_spark.operators.derive import apply_derivations
 
     runner = _make_runner(parts, part_types, right_keys, fields, [],
                           snapshot=(gb.accuracy == Accuracy.SNAPSHOT))
-    return arranged.mapInPandas(runner, schema=out_schema)
+    out = arranged.mapInPandas(runner, schema=out_schema)
+    return apply_derivations(out, gb.derivations, always_keep=[ROW_ID])
 
 
 SALT_COL = "__salt"
@@ -565,11 +576,13 @@ def compute_group_by_self(
         ev.repartition(*group_keys))
     arranged = shuffled.sortWithinPartitions(*group_keys, TS_COL, TIE_COL)
     from zipline_chronon_spark.api import Accuracy
+    from zipline_chronon_spark.operators.derive import apply_derivations
 
     runner = _make_runner(parts, part_types, group_keys, fields, list(passthrough),
                           query_range_ms=query_range_ms,
                           snapshot=(gb.accuracy == Accuracy.SNAPSHOT))
-    return arranged.mapInPandas(runner, schema=out_schema)
+    out = arranged.mapInPandas(runner, schema=out_schema)
+    return apply_derivations(out, gb.derivations, always_keep=[ROW_ID, *passthrough])
 
 
 def compute_snapshot(
