@@ -131,6 +131,16 @@ class EventSource:
     is_cumulative: bool = False
 
 
+@dataclass(frozen=True)
+class JoinSource:
+    """Output of one Join used as the source of a downstream GroupBy —
+    feature chaining. api.thrift:186-189. ``join`` is the upstream Join
+    spec; ``query`` projects/filters its output like any source."""
+
+    join: "Join"
+    query: Query = field(default_factory=Query)
+
+
 _CLEAN = re.compile(r"[^a-zA-Z0-9]+")
 
 

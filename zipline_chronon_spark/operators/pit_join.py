@@ -135,7 +135,16 @@ def render_source(
     """
     for stmt in src.query.setups:
         spark.sql(stmt)
-    df = _read_table(spark, src.table)
+    from zipline_chronon_spark.api import JoinSource
+
+    if isinstance(src, JoinSource):
+        # feature chaining: materialize the upstream join's logical plan
+        # (api.thrift:186-189; streaming/JoinSourceRunner is the online twin)
+        from zipline_chronon_spark.operators.join import compute_join
+
+        df = compute_join(spark, src.join)
+    else:
+        df = _read_table(spark, src.table)
     for w in src.query.wheres:
         df = df.where(w)
     time_expr = F.expr(src.query.time_column)
