@@ -411,9 +411,14 @@ def o_dedup_exact() -> str:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Jaccard on a bounded doc universe (doc_id < 1000).
+    The synthetic docs share one tiny vocabulary, so every shingle appears
+    in nearly every document and the exact all-pairs universe grows
+    quadratically with |docs| — the LSH query (dedup_minhash_lsh) is the
+    scale path; this one is the exactness baseline."""
     from zipline_chronon_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 1000")
     out = ngram_jaccard_pairs(docs, threshold=0.7)
     return out.select("id_a", "id_b", "n_shared",
                       F.round(F.col("jaccard") + F.lit(ROUND_EPS), 6).alias("jaccard"))
@@ -421,7 +426,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def o_dedup_ngram_jaccard() -> str:
     return f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+    WITH sh AS (SELECT * FROM ({_SHINGLES_SQL}) WHERE doc_id < 1000),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
     shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -451,7 +456,7 @@ def o_dedup_minhash_sig() -> str:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipline_chronon_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 2000")
     return minhash_lsh_pairs(docs, num_hashes=8, band_size=4)
 
 
@@ -462,7 +467,7 @@ def o_dedup_minhash_lsh() -> str:
         for bi in range(2)
     )
     return f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+    WITH sh AS (SELECT * FROM ({_SHINGLES_SQL}) WHERE doc_id < 2000),
     sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
     bands AS (SELECT doc_id, unnest([{bands}]) AS band_key FROM sig)
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -474,7 +479,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (xxhash64 is Spark-specific: rows-only check)."""
     from zipline_chronon_spark.operators.dedup import simhash_near_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 2000")
     return simhash_near_pairs(docs, max_hamming=12)
 
 

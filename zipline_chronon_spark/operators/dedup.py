@@ -48,15 +48,23 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    df_cap: float | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over distinct char n-grams, emitted for pairs
     sharing >= 1 shingle and J >= threshold, id_a < id_b.
 
     Scale: the self-join is keyed by shingle — cost is sum over shingles of
     (docs-per-shingle)^2, i.e. proportional to true near-dup density, not
-    |docs|^2. Hot shingles should be frequency-capped upstream (stopword
-    shingles dropped); LSH (below) is the sub-linear path."""
+    |docs|^2. ``df_cap`` drops shingles whose document frequency exceeds
+    that fraction of the corpus (stopword shingles dominate the self-join
+    and carry no near-dup signal) — the standard cost knob; None = exact
+    semantics. LSH (below) is the sub-linear path."""
     sh = distinct_shingles(df, id_col, text_col, n)
+    if df_cap is not None:
+        n_docs = df.count()
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+               .where(F.col("df") > n_docs * df_cap).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

@@ -438,6 +438,7 @@ def compute_group_by(
     query_time_col: str = "ts",
     num_partitions: Optional[int] = None,
     semi_filter: str = "semi_join",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Enrich each query row (keys…, ts) with gb's features as of its ts.
 
@@ -489,9 +490,16 @@ def compute_group_by(
     from zipline_chronon_spark.api import Accuracy
     from zipline_chronon_spark.operators.derive import apply_derivations
 
-    runner = _make_runner(parts, part_types, right_keys, fields, [],
-                          snapshot=(gb.accuracy == Accuracy.SNAPSHOT))
-    out = arranged.mapInPandas(runner, schema=out_schema)
+    snap = gb.accuracy == Accuracy.SNAPSHOT
+    if engine == "arrow":
+        from zipline_chronon_spark.operators.arrow_engine import make_arrow_runner
+
+        runner = make_arrow_runner(parts, part_types, right_keys, out_schema, [],
+                                   None, snap, TS_COL, SIDE_COL, ROW_ID)
+        out = arranged.mapInArrow(runner, schema=out_schema)
+    else:
+        runner = _make_runner(parts, part_types, right_keys, fields, [], snapshot=snap)
+        out = arranged.mapInPandas(runner, schema=out_schema)
     return apply_derivations(out, gb.derivations, always_keep=[ROW_ID])
 
 
@@ -509,6 +517,7 @@ def compute_group_by_self(
     salt_slice_ms: Optional[int] = None,
     hot_keys: Optional[list] = None,
     hot_key_threshold: Optional[int] = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Self-enrichment fast path: every event row is also a query at its own
     ts (the transcript-backfill shape: each turn gets its conversation's
@@ -587,10 +596,18 @@ def compute_group_by_self(
     from zipline_chronon_spark.api import Accuracy
     from zipline_chronon_spark.operators.derive import apply_derivations
 
-    runner = _make_runner(parts, part_types, group_keys, fields, list(passthrough),
-                          query_range_ms=query_range_ms,
-                          snapshot=(gb.accuracy == Accuracy.SNAPSHOT))
-    out = arranged.mapInPandas(runner, schema=out_schema)
+    snap = gb.accuracy == Accuracy.SNAPSHOT
+    if engine == "arrow":
+        from zipline_chronon_spark.operators.arrow_engine import make_arrow_runner
+
+        runner = make_arrow_runner(parts, part_types, group_keys, out_schema,
+                                   list(passthrough), query_range_ms, snap,
+                                   TS_COL, SIDE_COL, ROW_ID)
+        out = arranged.mapInArrow(runner, schema=out_schema)
+    else:
+        runner = _make_runner(parts, part_types, group_keys, fields, list(passthrough),
+                              query_range_ms=query_range_ms, snapshot=snap)
+        out = arranged.mapInPandas(runner, schema=out_schema)
     return apply_derivations(out, gb.derivations, always_keep=[ROW_ID, *passthrough])
 
 
