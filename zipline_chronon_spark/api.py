@@ -132,6 +132,19 @@ class EventSource:
 
 
 @dataclass(frozen=True)
+class EntitySource:
+    """Mutable dimension: daily ``snapshot_table`` (+ optional CDC
+    ``mutation_table``, out of v1 scope). api.thrift:142-162. With SNAPSHOT
+    accuracy each ds partition is a full copy of the table and aggregates
+    independently (GroupBy.snapshotEntities, GroupBy.scala:115-162)."""
+
+    snapshot_table: str
+    query: Query = field(default_factory=Query)
+    mutation_table: Optional[str] = None
+    partition_column: str = "ds"
+
+
+@dataclass(frozen=True)
 class JoinSource:
     """Output of one Join used as the source of a downstream GroupBy —
     feature chaining. api.thrift:186-189. ``join`` is the upstream Join

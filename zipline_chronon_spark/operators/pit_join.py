@@ -643,3 +643,87 @@ def compute_snapshot(
         num_partitions=num_partitions,
     )
     return q.join(feats, ROW_ID).drop(ROW_ID, "__q_ts")
+
+
+def compute_entity_snapshot(
+    spark: SparkSession,
+    gb: GroupBy,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """ENTITIES × SNAPSHOT: every ds partition of the snapshot table is a
+    full copy of the mutable dimension, aggregated independently per key;
+    windowed parts measure against that partition's end-of-day
+    (GroupBy.snapshotEntities, GroupBy.scala:115-162; updateWindowed with
+    partitionTs + spanMillis :967-971). Mutation replay (temporal entities)
+    is out of v1 scope.
+
+    gb.sources must hold exactly one EntitySource. Returns one row per
+    (key, ds) with the usual feature columns.
+    """
+    import dataclasses
+
+    from zipline_chronon_spark.api import Accuracy, EntitySource, EventSource
+
+    (src,) = gb.sources
+    assert isinstance(src, EntitySource), "compute_entity_snapshot needs an EntitySource"
+    selects = dict(src.query.selects or {})
+    selects.setdefault("__ds", src.partition_column)
+    ev_src = EventSource(
+        table=src.snapshot_table,
+        query=dataclasses.replace(src.query, selects=selects),
+    )
+    gb2 = dataclasses.replace(
+        gb,
+        sources=(ev_src,),
+        key_columns=(*gb.key_columns, "__ds"),
+        accuracy=Accuracy.SNAPSHOT,
+    )
+    base = _read_table(spark, src.snapshot_table)
+    for w in src.query.wheres:
+        base = base.where(w)
+    key_exprs = [
+        F.expr((src.query.selects or {}).get(k, k)).alias(k) for k in gb.key_columns
+    ]
+    q = (
+        base.select(*key_exprs, F.expr(src.partition_column).alias("__ds"))
+        .distinct()
+        .withColumn(
+            "__q_ts",
+            F.unix_millis(F.to_timestamp("__ds", "yyyy-MM-dd")) + F.lit(86_399_999),
+        )
+        .withColumn(ROW_ID, F.xxhash64(*gb.key_columns, "__ds"))
+    )
+    feats = compute_group_by(
+        spark, gb2, q, row_id=ROW_ID, query_time_col="__q_ts",
+        num_partitions=num_partitions,
+    )
+    return (
+        q.join(feats, ROW_ID)
+        .drop(ROW_ID, "__q_ts")
+        .withColumnRenamed("__ds", "ds")
+    )
+
+
+def compute_key_states(
+    spark: SparkSession,
+    gb: GroupBy,
+    at_ts_ms: int,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Per-key feature state as of one batch-end timestamp — the offline
+    half of the reference's GroupByUpload (GroupByUpload.scala:112-300):
+    one row per key with every feature evaluated at ``at_ts_ms``. Combined
+    with streaming hop tiles (streaming/hop_stream.py) this is the lambda
+    architecture's batch upload; we emit finalized values rather than Avro
+    IRs since the KV/fetcher tier is out of scope."""
+    ev = events_df(spark, gb, time_range_ms=(None, at_ts_ms))
+    q = (
+        ev.select(*gb.key_columns).distinct()
+        .withColumn("__q_ts", F.lit(at_ts_ms).cast("long"))
+        .withColumn(ROW_ID, F.xxhash64(*gb.key_columns))
+    )
+    feats = compute_group_by(
+        spark, gb, q, row_id=ROW_ID, query_time_col="__q_ts",
+        num_partitions=num_partitions,
+    )
+    return q.join(feats, ROW_ID).drop(ROW_ID, "__q_ts")
