@@ -1,0 +1,264 @@
+"""Temporal (point-in-time) entities: snapshot + CDC mutation replay.
+
+Reference semantics (GroupBy.temporalEntities, GroupBy.scala:193-342;
+SawtoothMutationAggregator.scala:28-228): the feature at query time T on
+day d is
+
+    agg over  snapshot rows of partition d-1          (state at eod(d-1))
+              with  row.ts >= round(T - w, tailHop)            [windowed]
+    +/- agg over mutations of day d
+              with  batchEnd <= mutation_ts < T   (strict head)
+              and   round(T - w, tailHop) <= row.ts < T        [windowed]
+              sign = -1 for before-images (is_before), +1 otherwise.
+
+Vectorization insight (ours — the reference replays mutations row-by-row
+per query): for linear, deletable operators (SUM / COUNT / AVERAGE via
+(sum, count)) every row's contribution is a CONTIGUOUS INTERVAL of query
+times:
+
+    active for T in ( start,  theta )
+      start = -inf                         for snapshot rows
+              max(mutation_ts, row.ts)     for mutations (strict <)
+      theta = (floor(row.ts/hop) + 1)*hop + w   (first T whose hop-aligned
+              tail passes the row; +inf for unbounded windows)
+
+so with queries sorted by ts inside each (key, day) group, the whole
+replay collapses to difference arrays: +/- (sign * value) scattered at
+``searchsorted`` positions, then one cumulative sum — no per-row Python,
+no per-query loop, exactly the engine's style.
+
+Non-deletable operators (MIN/MAX/FIRST/LAST/K-ops/…) cannot consume
+reversals (ColumnAggregator isDeletable=false in the reference) and are
+rejected at validation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zipline_chronon_spark.api import AggregationPart, EntitySource, GroupBy, Operation
+from zipline_chronon_spark.operators import pit_join
+
+MS_DAY = 86_400_000
+_SHIFT = pit_join._SHIFT
+
+KIND_SNAPSHOT = 0
+KIND_MUTATION = 1
+KIND_QUERY = 2
+
+DELETABLE = {Operation.SUM, Operation.COUNT, Operation.AVERAGE}
+
+MUTATION_TS = "mutation_ts"
+REVERSAL = "is_before"
+
+
+def _validate(gb: GroupBy) -> None:
+    bad = [p.operation.name for p in gb.parts() if p.operation not in DELETABLE]
+    if bad:
+        raise NotImplementedError(
+            f"temporal entities require deletable (abelian-group) operators; got {bad}")
+    if any(p.bucket for p in gb.parts()):
+        raise NotImplementedError("bucketing not yet supported on the mutation path")
+
+
+def compute_entities_temporal(
+    spark: SparkSession,
+    gb: GroupBy,
+    queries: DataFrame,
+    row_id: str = pit_join.ROW_ID,
+    query_time_col: str = "ts",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Point-in-time features over a mutable dimension. gb.sources must be
+    one EntitySource with snapshot_table + mutation_table. Returns
+    (row_id, feature columns…)."""
+    _validate(gb)
+    (src,) = gb.sources
+    assert isinstance(src, EntitySource) and src.mutation_table, (
+        "compute_entities_temporal needs an EntitySource with a mutation_table")
+    keys = list(gb.key_columns)
+    inputs = pit_join._input_columns(gb)
+    selects = src.query.selects or {}
+
+    def proj(df: DataFrame, cols: list[str]) -> list:
+        return [F.expr(selects.get(c, c)).alias(c) for c in cols]
+
+    # snapshot rows of partition d-1 serve queries of day d (shifted join,
+    # GroupBy.scala:240-247 withShiftedPartition)
+    snap = pit_join._read_table(spark, src.snapshot_table)
+    for w in src.query.wheres:
+        snap = snap.where(w)
+    t_expr = F.expr(src.query.time_column)
+    t_dt = snap.select(t_expr.alias("t")).schema[0].dataType
+    snap_r = snap.select(
+        *proj(snap, keys + inputs),
+        pit_join._time_to_millis(t_expr, t_dt).alias(pit_join.TS_COL),
+        (F.unix_millis(F.to_timestamp(F.expr(src.partition_column), "yyyy-MM-dd"))
+         / MS_DAY + 1).cast("long").alias("__day"),
+        F.lit(KIND_SNAPSHOT).alias("__kind"),
+        F.lit(0).cast("long").alias("__mut_ts"),
+        F.lit(False).alias("__rev"),
+        F.lit(0).cast("long").alias(pit_join.ROW_ID),
+    )
+
+    mut = pit_join._read_table(spark, src.mutation_table)
+    for w in src.query.wheres:
+        mut = mut.where(w)
+    mt_dt = mut.select(t_expr.alias("t")).schema[0].dataType
+    mut_ts_dt = mut.select(F.col(MUTATION_TS).alias("t")).schema[0].dataType
+    mut_ms = pit_join._time_to_millis(F.col(MUTATION_TS), mut_ts_dt)
+    mut_r = mut.select(
+        *proj(mut, keys + inputs),
+        pit_join._time_to_millis(t_expr, mt_dt).alias(pit_join.TS_COL),
+        (mut_ms / MS_DAY).cast("long").alias("__day"),
+        F.lit(KIND_MUTATION).alias("__kind"),
+        mut_ms.alias("__mut_ts"),
+        F.col(REVERSAL).cast("boolean").alias("__rev"),
+        F.lit(0).cast("long").alias(pit_join.ROW_ID),
+    )
+
+    q_dt = queries.select(F.expr(query_time_col).alias("t")).schema[0].dataType
+    q_ms = pit_join._time_to_millis(F.expr(query_time_col), q_dt)
+    q_r = queries.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(snap_r.schema[c].dataType).alias(c) for c in inputs],
+        q_ms.alias(pit_join.TS_COL),
+        (q_ms / MS_DAY).cast("long").alias("__day"),
+        F.lit(KIND_QUERY).alias("__kind"),
+        F.lit(0).cast("long").alias("__mut_ts"),
+        F.lit(False).alias("__rev"),
+        F.col(row_id).alias(pit_join.ROW_ID),
+    )
+
+    union = snap_r.unionByName(mut_r).unionByName(q_r)
+    group_keys = keys + ["__day"]
+    shuffled = (union.repartition(num_partitions, *group_keys) if num_partitions
+                else union.repartition(*group_keys))
+    # queries must be ts-sorted within each (key, day) group; snapshot rows
+    # and mutations are index-accessed, their order is irrelevant
+    arranged = shuffled.sortWithinPartitions(*group_keys, pit_join.TS_COL)
+
+    parts = gb.parts()
+    ev_schema = {f.name: f.dataType for f in snap_r.schema.fields}
+    fields = [T.StructField(pit_join.ROW_ID, T.LongType(), False)]
+    for p in parts:
+        fields.append(pit_join.output_field(p, ev_schema[p.input_column]))
+    out_schema = T.StructType(fields)
+
+    runner = _make_runner(parts, ev_schema, group_keys, fields)
+    return arranged.mapInPandas(runner, schema=out_schema)
+
+
+def _theta(ts: np.ndarray, part: AggregationPart) -> np.ndarray:
+    """First query time whose hop-aligned tail passes a row at ``ts``."""
+    if part.window is None:
+        return np.full(len(ts), np.iinfo(np.int64).max, dtype=np.int64)
+    hop = part.window.tail_hop_millis()
+    return (ts // hop + 1) * hop + part.window.millis
+
+
+def _chunk(pdf: pd.DataFrame, parts, ev_schema, keys) -> pd.DataFrame:
+    gid = pit_join._group_ids(pdf, keys)
+    ts = pdf[pit_join.TS_COL].to_numpy(dtype=np.int64)
+    kind = pdf["__kind"].to_numpy()
+    is_q = kind == KIND_QUERY
+    q_pos = np.flatnonzero(is_q)
+    n_q = len(q_pos)
+    base = int(ts.min()) if len(ts) else 0
+    enc = (gid << _SHIFT) + (ts - base)
+    q_enc = enc[q_pos]
+
+    is_snap = kind == KIND_SNAPSHOT
+    is_mut = kind == KIND_MUTATION
+    sign = np.where(pdf["__rev"].to_numpy(dtype=bool), -1.0, 1.0)
+    mut_ts = pdf["__mut_ts"].to_numpy(dtype=np.int64)
+
+    data: dict = {pit_join.ROW_ID: pdf[pit_join.ROW_ID].to_numpy(dtype=np.int64)[q_pos]}
+    for part in parts:
+        col = pdf[part.input_column]
+        valid = col.notna().to_numpy()
+        snap_m = is_snap & valid
+        mut_m = is_mut & valid
+        in_t = ev_schema[part.input_column]
+
+        def deltas(rows_mask, start_excl, weights):
+            """Scatter +w at first query with T > start, -w at first query
+            with T >= theta; cumsum = per-query contribution."""
+            idx = np.flatnonzero(rows_mask)
+            if not len(idx):
+                return np.zeros(n_q, dtype=np.float64)
+            g = gid[idx]
+            th = _theta(ts[idx], part)
+            th_rel = np.clip(th - base, 0, (1 << _SHIFT) - 1)
+            start_rel = np.clip(start_excl[idx] - base, -1, (1 << _SHIFT) - 1)
+            add_pos = np.searchsorted(q_enc, (g << _SHIFT) + start_rel, side="right")
+            sub_pos = np.searchsorted(q_enc, (g << _SHIFT) + th_rel, side="left")
+            # empty interval when the window exit precedes activation (e.g. a
+            # before-image of a row already outside the window)
+            sub_pos = np.maximum(sub_pos, add_pos)
+            d = np.zeros(n_q + 1, dtype=np.float64)
+            np.add.at(d, add_pos, weights[idx])
+            np.add.at(d, sub_pos, -weights[idx])
+            return np.cumsum(d[:-1])
+
+        neg_inf = np.full(len(pdf), base - 1, dtype=np.int64)  # snapshot: always started
+        # strict head: mutations activate after max(mutation_ts, row.ts)
+        mut_start = np.maximum(mut_ts, ts)
+        ones = np.ones(len(pdf), dtype=np.float64)
+
+        cnt = deltas(snap_m, neg_inf, ones) + deltas(mut_m, mut_start, sign * ones)
+        cnt = np.round(cnt).astype(np.int64)
+        if part.operation == Operation.COUNT:
+            data[part.output_name] = pd.Series(
+                [int(c) if c > 0 else None for c in cnt], dtype=object)
+            continue
+        vals = pit_join._as_numpy(col.fillna(0), in_t).astype(np.float64, copy=False)
+        s = deltas(snap_m, neg_inf, vals) + deltas(mut_m, mut_start, sign * vals)
+        if part.operation == Operation.SUM:
+            out_int = isinstance(pit_join._widen(in_t), T.LongType)
+            data[part.output_name] = pd.Series(
+                [None if c <= 0 else (int(round(v)) if out_int else float(v))
+                 for v, c in zip(s, cnt)], dtype=object)
+        else:  # AVERAGE
+            data[part.output_name] = pd.Series(
+                [None if c <= 0 else float(v / c) for v, c in zip(s, cnt)], dtype=object)
+    return pd.DataFrame(data)
+
+
+def _make_runner(parts, ev_schema, keys, fields):
+    empty = {f.name: pd.Series(dtype=object) for f in fields}
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: Optional[pd.DataFrame] = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            last_start = 0
+            for k in keys:
+                colv = pdf[k].to_numpy()
+                nz = np.flatnonzero(colv[1:] != colv[:-1]) + 1
+                if len(nz):
+                    last_start = max(last_start, int(nz[-1]))
+            if last_start == 0:
+                carry = pdf
+                continue
+            carry = pdf.iloc[last_start:].reset_index(drop=True)
+            out = _chunk(pdf.iloc[:last_start], parts, ev_schema, keys)
+            if len(out):
+                yield out
+        if carry is not None and len(carry):
+            yield _chunk(carry, parts, ev_schema, keys)
+        else:
+            yield pd.DataFrame(empty)
+
+    return runner
