@@ -105,3 +105,28 @@ def test_unsupported_op_raises(spark, tmp_path_factory):
     )
     with pytest.raises(NotImplementedError):
         hop_stream.tile_aggregates(gb)
+
+
+def test_hll_tiles_merge_to_distinct(spark, tmp_path_factory):
+    """APPROX_UNIQUE_COUNT tiles carry mergeable HLL IRs: merging all tiles
+    of a key reproduces its global distinct count (within HLL error)."""
+    from zipline_chronon_spark.sources.transcripts import generate_transcripts
+
+    pdf = generate_transcripts(n_convs=6, avg_turns=40, n_days=2, seed=23)
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("hll_events")
+    gb = GroupBy(
+        name="hll_tiles",
+        sources=(specs.transcripts_source("hll_events"),),
+        key_columns=("conv_id",),
+        aggregations=(Aggregation("text", Operation.APPROX_UNIQUE_COUNT,
+                                  windows=(specs.W1D,)),),
+    )
+    tiles = hop_stream.hop_tiles_batch(df, gb, hop="1 hour")
+    merged = hop_stream.merge_tile_sketches(tiles, gb).toPandas()
+    exact = {r["conv_id"]: r["d"] for r in df.where("text is not null")
+             .groupBy("conv_id").agg(F.countDistinct("text").alias("d")).collect()}
+    assert len(merged) == len(exact)
+    for _, r in merged.iterrows():
+        est, true = r["hll_text_estimate"], exact[r["conv_id"]]
+        assert abs(est - true) <= max(2, 0.1 * true), (r["conv_id"], est, true)

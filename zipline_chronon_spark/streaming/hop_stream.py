@@ -34,6 +34,10 @@ from zipline_chronon_spark.api import GroupBy, Operation
 _TILE_OPS = {
     Operation.SUM, Operation.COUNT, Operation.MIN, Operation.MAX,
     Operation.AVERAGE, Operation.FIRST, Operation.LAST,
+    # mergeable sketch IR via Spark's built-in Datasketches HLL
+    # (the reference uses CPC sketches for the same role,
+    # SimpleAggregators.scala:499-543)
+    Operation.APPROX_UNIQUE_COUNT,
 }
 
 
@@ -57,7 +61,22 @@ def tile_aggregates(gb: GroupBy) -> list[F.Column]:
             aggs.setdefault(f"first_{c}", F.min_by(c, F.col("__ts_ms")).alias(f"first_{c}"))
         elif op == Operation.LAST:
             aggs.setdefault(f"last_{c}", F.max_by(c, F.col("__ts_ms")).alias(f"last_{c}"))
+        elif op == Operation.APPROX_UNIQUE_COUNT:
+            aggs.setdefault(f"hll_{c}", F.hll_sketch_agg(c).alias(f"hll_{c}"))
     return list(aggs.values())
+
+
+def merge_tile_sketches(tiles: DataFrame, gb: GroupBy) -> DataFrame:
+    """Roll tile HLL sketches up to per-key estimates: hll_union_agg merges
+    the binary IRs across tiles (the fetcher-side merge of the lambda
+    architecture), hll_sketch_estimate finalizes."""
+    sketch_cols = [c for c in tiles.columns if c.startswith("hll_")]
+    if not sketch_cols:
+        raise ValueError("no sketch columns in tiles")
+    return tiles.groupBy(*gb.key_columns).agg(*[
+        F.hll_sketch_estimate(F.hll_union_agg(c)).alias(f"{c}_estimate")
+        for c in sketch_cols
+    ])
 
 
 def _prepared(df: DataFrame, gb: GroupBy, ts_col: str) -> DataFrame:
