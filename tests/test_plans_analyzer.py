@@ -117,3 +117,22 @@ def test_analyzer_join(spark, tpath):
     rep = analyze_join(spark, join)
     assert any("missing on left" in e for e in rep.errors)
     assert "g_len_text_sum_1d" in rep.output_schema
+
+
+def test_in_list_small_mode_pushdown(spark, tpath):
+    gb = GroupBy(
+        name="small",
+        sources=(specs.transcripts_source(tpath),),
+        key_columns=("conv_id",),
+        aggregations=(Aggregation("len_text", Operation.SUM, windows=(specs.W1D,)),),
+    )
+    left = (
+        spark.read.parquet(tpath).where("conv_id = 'conv_000002'")
+        .select("conv_id", "ts").withColumn("__row_id", F.monotonically_increasing_id())
+    )
+    out = pit_join.compute_group_by(spark, gb, left, row_id="__row_id",
+                                    semi_filter="in_list")
+    plan = _physical(out)
+    # the IN-list literal reaches the parquet scan's pushed filters
+    assert "In(conv_id" in plan or "EqualTo(conv_id,conv_000002)" in plan, plan
+    assert out.count() == left.count()

@@ -448,8 +448,10 @@ def compute_group_by(
     semi_filter: prune the events scan to keys present on the left — the
     reference's bloom/IN-list semi-join reduction (Extensions.scala:177-220,
     JoinUtils.scala:234-285). "semi_join" = broadcast left-semi join on the
-    left's distinct keys (AQE decides the physical strategy); "off" = scan
-    everything (right when the left covers most keys anyway).
+    left's distinct keys (AQE decides the physical strategy); "in_list" =
+    small mode, literal IN pushdown into scan statistics (left must have
+    <= 5000 distinct keys); "off" = scan everything (right when the left
+    covers most keys anyway).
     """
     # key_mapping maps left column -> right key (api.thrift:384-386)
     key_mapping = key_mapping or {}
@@ -468,6 +470,18 @@ def compute_group_by(
     )
     if semi_filter == "semi_join":
         ev = ev.join(F.broadcast(q.select(*right_keys).distinct()), right_keys, "left_semi")
+    elif semi_filter == "in_list":
+        # "small mode" (TableUtils.scala:55-57, JoinUtils.scala:234-285):
+        # inline the left's key values as an IN-list literal so the filter
+        # reaches parquet/Iceberg scan STATISTICS (row-group skipping),
+        # which a runtime semi-join cannot do. Caller asserts the left is
+        # small (reference cutoff: 5000 rows).
+        kvals = [r[0] for r in q.select(right_keys[0]).distinct().limit(5001).collect()]
+        if len(kvals) > 5000:
+            raise ValueError("in_list semi_filter needs <= 5000 distinct left keys")
+        ev = ev.where(F.col(right_keys[0]).isin(kvals))
+        if len(right_keys) > 1:
+            ev = ev.join(F.broadcast(q.select(*right_keys).distinct()), right_keys, "left_semi")
 
     tie = gb.tie_breaker_column
     # NOTE: no nulls in ROW_ID/TIE_COL — a null would make Arrow hand pandas
