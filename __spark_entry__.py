@@ -105,6 +105,28 @@ def _tail(window_ms: int, hop_ms: int) -> str:
     return f"ets >= ((qts - {window_ms}) // {hop_ms}) * {hop_ms}"
 
 
+# The driver's canonicalizer sorts result frames with pandas and cannot hash
+# raw array<> cells (CORRECTNESS_r01: "unhashable type: 'list'"), so every
+# array output is serialized to a csv string on BOTH sides. Doubles are
+# scaled to 1e-4 integers first so Spark and DuckDB string formatting of
+# floats can never diverge.
+def _arr_str(col: str):
+    return F.array_join(
+        F.transform(
+            F.col(col),
+            lambda x: F.round(x * 10000 + F.lit(ROUND_EPS), 0).cast("long").cast("string"),
+        ),
+        ",",
+    )
+
+
+def _o_arr_str(list_expr: str) -> str:
+    return (
+        f"array_to_string(list_transform({list_expr}, "
+        f"x -> CAST(round(x * 10000 + 0.0000001) AS BIGINT)), ',')"
+    )
+
+
 def _oracle(aggs: str) -> str:
     return _ORACLE_BASE.format(aggs=aggs)
 
@@ -190,22 +212,27 @@ def q_pit_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
         {
             "value_first_7d": ("first_7d", None),
             "value_last_7d": ("last_7d", None),
-            "value_last3": ("last3_all", None),
-            "value_first2_1d": ("first2_1d", None),
+            "value_last3": ("last3_raw", None),
+            "value_first2_1d": ("first2_raw", None),
         },
+    ).select(
+        "event_id", "first_7d", "last_7d",
+        _arr_str("last3_raw").alias("last3_all"),
+        _arr_str("first2_raw").alias("first2_1d"),
     )
 
 
 def o_pit_recency() -> str:
     t1, t7 = _tail(MS_1D, HOP_1H), _tail(MS_7D, HOP_1H)
+    last3 = "CASE WHEN count(v) = 0 THEN NULL ELSE (list(v ORDER BY ets DESC, eid DESC))[1:3] END"
+    first2 = (f"CASE WHEN count(v) FILTER (WHERE {t1}) = 0 THEN NULL "
+              f"ELSE (list(v ORDER BY ets ASC, eid ASC) FILTER (WHERE {t1}))[1:2] END")
     return _oracle(
         f"""
         (list(v ORDER BY ets ASC, eid ASC) FILTER (WHERE {t7}))[1] AS first_7d,
         (list(v ORDER BY ets DESC, eid ASC) FILTER (WHERE {t7}))[1] AS last_7d,
-        CASE WHEN count(v) = 0 THEN NULL
-             ELSE (list(v ORDER BY ets DESC, eid DESC))[1:3] END AS last3_all,
-        CASE WHEN count(v) FILTER (WHERE {t1}) = 0 THEN NULL
-             ELSE (list(v ORDER BY ets ASC, eid ASC) FILTER (WHERE {t1}))[1:2] END AS first2_1d
+        {_o_arr_str(last3)} AS last3_all,
+        {_o_arr_str(first2)} AS first2_1d
         """
     )
 
@@ -258,20 +285,26 @@ def q_pit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation("value", Operation.BOTTOM_K, arg_map=(("k", "3"),), windows=(W7D,)),
         ),
         {
-            "value_top3_7d": ("top3_7d", None),
-            "value_bottom3_7d": ("bottom3_7d", None),
+            "value_top3_7d": ("top3_raw", None),
+            "value_bottom3_7d": ("bottom3_raw", None),
         },
+    ).select(
+        "event_id",
+        _arr_str("top3_raw").alias("top3_7d"),
+        _arr_str("bottom3_raw").alias("bottom3_7d"),
     )
 
 
 def o_pit_topk() -> str:
     t7 = _tail(MS_7D, HOP_1H)
+    top3 = (f"CASE WHEN count(v) FILTER (WHERE {t7}) = 0 THEN NULL "
+            f"ELSE (list(v ORDER BY v DESC) FILTER (WHERE {t7}))[1:3] END")
+    bot3 = (f"CASE WHEN count(v) FILTER (WHERE {t7}) = 0 THEN NULL "
+            f"ELSE (list(v ORDER BY v ASC) FILTER (WHERE {t7}))[1:3] END")
     return _oracle(
         f"""
-        CASE WHEN count(v) FILTER (WHERE {t7}) = 0 THEN NULL
-             ELSE (list(v ORDER BY v DESC) FILTER (WHERE {t7}))[1:3] END AS top3_7d,
-        CASE WHEN count(v) FILTER (WHERE {t7}) = 0 THEN NULL
-             ELSE (list(v ORDER BY v ASC) FILTER (WHERE {t7}))[1:3] END AS bottom3_7d
+        {_o_arr_str(top3)} AS top3_7d,
+        {_o_arr_str(bot3)} AS bottom3_7d
         """
     )
 
@@ -317,8 +350,8 @@ def o_sessionize() -> str:
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, ms,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
-                            ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM g
     )
     SELECT user_id, session_id, count(*) AS n_turns,
@@ -442,14 +475,15 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipline_chronon_spark.operators.dedup import minhash_signature
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_signature(docs, num_hashes=8)
+    sig = minhash_signature(docs, num_hashes=8)
+    return sig.select("doc_id", F.array_join("minhash", ",").alias("minhash"))
 
 
 def o_dedup_minhash_sig() -> str:
     mins = ", ".join(f"min(md5('{i}:' || shingle))" for i in range(8))
     return f"""
     WITH sh AS ({_SHINGLES_SQL})
-    SELECT doc_id, [{mins}] AS minhash FROM sh GROUP BY doc_id
+    SELECT doc_id, array_to_string([{mins}], ',') AS minhash FROM sh GROUP BY doc_id
     """
 
 

@@ -37,10 +37,11 @@ def _norm_cell(v):
         return int(f) if f.is_integer() else f
     if isinstance(v, (int, np.integer)):
         return int(v)
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(_norm_cell(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((str(k), _norm_cell(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        # the REAL driver's canonicalizer crashes on container cells
+        # (CORRECTNESS_r01 "unhashable type: 'list'") — mirror that so any
+        # query leaking a raw array/map column fails loudly here first
+        raise TypeError(f"container cell would crash the driver canonicalizer: {v!r}")
     return v
 
 
@@ -53,14 +54,31 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return ndf.iloc[order].reset_index(drop=True)
 
 
+def _kinds(df: pd.DataFrame) -> dict:
+    out = {}
+    for c in df.columns:
+        k = df[c].dtype.kind
+        out[c] = {"i": "i", "u": "i", "f": "f", "b": "b"}.get(k, "o")
+    return out
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame) -> dict:
-    got = _normalize(spark_df.toPandas())
-    exp = _normalize(oracle_pdf)
+    got_raw, exp_raw = spark_df.toPandas(), oracle_pdf
+    got = _normalize(got_raw)
+    exp = _normalize(exp_raw)
+    gk, ek = _kinds(got_raw), _kinds(exp_raw)
+    # the real driver's value hash is dtype-sensitive: int64 0 vs float64 0.0
+    # hash-differ (CORRECTNESS_r01 sessionize). Flag i-vs-f kind divergence.
+    dtype_bad = [
+        (c, gk[c], ek[c]) for c in gk
+        if c in ek and {gk[c], ek[c]} == {"i", "f"}
+    ]
     res = {
         "rows_match": len(got) == len(exp),
         "rows": (len(got), len(exp)),
         "schema_match": list(got.columns) == list(exp.columns),
         "schema": (list(got.columns), list(exp.columns)),
+        "dtype_mismatch": dtype_bad,
         "mismatches": [],
     }
     if res["rows_match"] and res["schema_match"]:
@@ -69,7 +87,8 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> dict:
             bad = [(i, a[i], b[i]) for i in range(len(a)) if a[i] != b[i]]
             if bad:
                 res["mismatches"].append((c, len(bad), bad[:3]))
-    res["ok"] = res["rows_match"] and res["schema_match"] and not res["mismatches"]
+    res["ok"] = (res["rows_match"] and res["schema_match"]
+                 and not res["mismatches"] and not dtype_bad)
     return res
 
 
