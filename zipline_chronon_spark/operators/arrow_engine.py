@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 from pyspark.sql import types as T
 
 from zipline_chronon_spark.api import AggregationPart, Operation
-from zipline_chronon_spark.operators import kernels
+from zipline_chronon_spark.operators import kernels, segments
 
 _SHIFT = 44
 
@@ -167,14 +167,6 @@ def process_chunk_arrow(
         valid = _valid_np(col)
         use_fallback = (
             isinstance(in_t, (T.ArrayType, T.MapType))
-            or part.operation in (
-                Operation.TOP_K, Operation.BOTTOM_K, Operation.UNIQUE_TOP_K,
-                Operation.HISTOGRAM, Operation.APPROX_FREQUENT_K,
-                Operation.APPROX_HEAVY_HITTERS_K, Operation.APPROX_PERCENTILE,
-                Operation.UNIQUE_COUNT, Operation.APPROX_UNIQUE_COUNT,
-            )
-            or (part.operation in (Operation.MIN, Operation.MAX)
-                and not _is_numeric(col.type))
             or (part.bucket is not None and part.operation != Operation.COUNT)
         )
         if use_fallback:
@@ -228,16 +220,21 @@ def process_chunk_arrow(
             out_arrays.append(_masked_pa((hi - lo).astype(np.int64), empty, f.type))
         elif op in (Operation.SUM, Operation.AVERAGE, Operation.VARIANCE,
                     Operation.SKEW, Operation.KURTOSIS):
+            if op == Operation.SUM and pa.types.is_integer(f.type):
+                # exact long arithmetic (reference keeps JVM long; int64
+                # wrap-on-overflow matches) — float64 prefix sums would lose
+                # low-order bits past 2^53 cumulative magnitude
+                xi = _numeric_np(col)[fpos].astype(np.int64, copy=False)
+                prei = np.zeros(len(xi) + 1, dtype=np.int64)
+                np.cumsum(xi, out=prei[1:])
+                out_arrays.append(_masked_pa(prei[hi] - prei[lo], empty, f.type))
+                continue
             x = _numeric_np(col)[fpos].astype(np.float64, copy=False)
             nw = (hi - lo).astype(np.float64)
             with np.errstate(invalid="ignore", divide="ignore"):
                 if op == Operation.SUM:
                     pre = _prefix(x)
                     res = pre[hi] - pre[lo]
-                    if pa.types.is_integer(f.type):
-                        out_arrays.append(_masked_pa(np.round(res).astype(np.int64),
-                                                     empty, f.type))
-                        continue
                 elif op == Operation.AVERAGE:
                     pre = _prefix(x)
                     res = (pre[hi] - pre[lo]) / nw
@@ -259,10 +256,20 @@ def process_chunk_arrow(
                                        nw * m4 / (m2 * m2) - 3.0)
             out_arrays.append(_masked_pa(res, empty, f.type))
         elif op in (Operation.MIN, Operation.MAX):
-            x = _numeric_np(col)[fpos]
-            st = kernels._SparseTable(x, np.minimum if op == Operation.MIN else np.maximum)
-            res = st.query(np.where(empty, 0, lo), np.where(empty, 1, hi))
-            out_arrays.append(_masked_pa(res, empty, f.type))
+            npop = np.minimum if op == Operation.MIN else np.maximum
+            if _is_numeric(col.type):
+                x = _numeric_np(col)[fpos]
+                st = kernels._SparseTable(x, npop)
+                res = st.query(np.where(empty, 0, lo), np.where(empty, 1, hi))
+                out_arrays.append(_masked_pa(res, empty, f.type))
+            else:
+                # strings: RMQ over lexicographic rank codes, values emitted
+                # from the sorted dictionary (no per-row Python)
+                ranked, sorted_dict = segments.rank_codes(col, fpos)
+                st = kernels._SparseTable(ranked, npop)
+                res = st.query(np.where(empty, 0, lo), np.where(empty, 1, hi))
+                take = pa.array(np.where(empty, -1, res), type=pa.int64(), mask=empty)
+                out_arrays.append(sorted_dict.take(take))
         elif op == Operation.FIRST:
             out_arrays.append(_take_at(col, fpos, lo, empty))
         elif op == Operation.LAST:
@@ -274,6 +281,43 @@ def process_chunk_arrow(
             out_arrays.append(_kop_list_array(
                 col, fpos, lo, hi, part.k or 1, f.type,
                 ascending=(op == Operation.FIRST_K)))
+        elif op in (Operation.TOP_K, Operation.BOTTOM_K, Operation.UNIQUE_TOP_K):
+            if _is_numeric(col.type):
+                sort_key = _numeric_np(col)[fpos]
+            else:
+                sort_key, _ = segments.rank_codes(col, fpos)
+            k = part.k or 1
+            if op == Operation.UNIQUE_TOP_K:
+                out_arrays.append(segments.unique_topk(col, fpos, sort_key, lo, hi, k, f.type))
+            else:
+                out_arrays.append(segments.topk_bottomk(
+                    col, fpos, sort_key, lo, hi, k,
+                    largest=(op == Operation.TOP_K), pa_list_type=f.type))
+        elif op == Operation.APPROX_PERCENTILE:
+            pcts = [float(p) for p in
+                    part.args.get("percentiles", "[0.5]").strip("[] ").split(",")]
+            x = _numeric_np(col)[fpos].astype(np.float64, copy=False)
+            out_arrays.append(segments.percentiles(x, lo, hi, pcts, f.type))
+        elif op in (Operation.UNIQUE_COUNT, Operation.APPROX_UNIQUE_COUNT):
+            codes, _ = segments.rank_codes(col, fpos)
+            prev = segments.prev_occurrence(codes)
+            if part.window is None:
+                gid_f = enc_f >> _SHIFT
+                gstart = np.searchsorted(gid_f, gid_f, side="left")
+                out_arrays.append(segments.unique_count_unbounded(
+                    prev, gstart, lo, hi, f.type))
+            else:
+                out_arrays.append(segments.unique_count(prev, lo, hi, f.type))
+        elif op in (Operation.HISTOGRAM, Operation.APPROX_FREQUENT_K,
+                    Operation.APPROX_HEAVY_HITTERS_K):
+            codes, sorted_dict = segments.rank_codes(col, fpos)
+            # map keys are str(value): only the small dictionary is touched
+            uniq_strs = pa.array([str(v) for v in sorted_dict.to_pylist()],
+                                 type=pa.string())
+            by_count = op != Operation.HISTOGRAM
+            k = part.k if by_count is False else (part.k or 1)
+            out_arrays.append(segments.histogram_map(
+                codes, uniq_strs, lo, hi, k, f.type, order_by_count=by_count))
         else:  # pragma: no cover — routed to fallback above
             raise NotImplementedError(op)
 

@@ -96,13 +96,18 @@ def _k_count(vals, ts, lo, hi, part):
 
 
 def _k_sum(vals, ts, lo, hi, part):
-    x = np.asarray(vals, dtype=np.float64)
+    arr = np.asarray(vals)
+    if np.issubdtype(arr.dtype, np.integer) or arr.dtype == np.bool_:
+        # exact long arithmetic (reference keeps JVM long; int64 wrap matches)
+        xi = arr.astype(np.int64, copy=False)
+        pre = np.zeros(len(xi) + 1, dtype=np.int64)
+        np.cumsum(xi, out=pre[1:])
+        res = pre[hi] - pre[lo]
+        return [None if e else int(v) for v, e in zip(res.tolist(), _empty_mask(lo, hi))]
+    x = arr.astype(np.float64, copy=False)
     pre = _prefix(x)
     res = pre[hi] - pre[lo]
-    out = _nullify(res, _empty_mask(lo, hi))
-    if np.issubdtype(np.asarray(vals).dtype, np.integer) or np.asarray(vals).dtype == np.bool_:
-        return [None if v is None else int(round(v)) for v in out]
-    return out
+    return _nullify(res, _empty_mask(lo, hi))
 
 
 def _k_average(vals, ts, lo, hi, part):
