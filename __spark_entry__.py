@@ -309,6 +309,212 @@ def o_pit_topk() -> str:
     )
 
 
+def _map_str(col: str, scaled: bool) -> "F.Column":
+    """map column -> 'k:v,...' csv sorted by key; float values 1e-4-scaled."""
+    def fmt(kv):
+        v = kv["value"]
+        if scaled:
+            v = F.round(v * 10000 + F.lit(ROUND_EPS), 0).cast("long")
+        return F.concat_ws(":", kv["key"], v.cast("string"))
+
+    return F.array_join(
+        F.transform(F.array_sort(F.map_entries(F.col(col))), fmt), ",")
+
+
+def _map_str_ordered(col: str) -> "F.Column":
+    """map column -> 'k:v,...' csv in STORED entry order (FREQUENT_K emits
+    count-desc, value-asc)."""
+    return F.array_join(
+        F.transform(F.map_entries(F.col(col)),
+                    lambda kv: F.concat_ws(":", kv["key"], kv["value"].cast("string"))),
+        ",")
+
+
+def q_pit_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW / KURTOSIS (population, SimpleAggregators.scala:758-766)."""
+    df = _pit(
+        spark, sf_dir, "skurt",
+        (
+            Aggregation("value", Operation.SKEW, windows=(W7D,)),
+            Aggregation("value", Operation.KURTOSIS, windows=(W7D,)),
+        ),
+        {"value_skew_7d": ("skew_raw", None), "value_kurtosis_7d": ("kurt_raw", None)},
+    )
+    def denan(c):
+        col = F.col(c)
+        return F.when(F.isnan(col), None).otherwise(col)
+    return df.select(
+        "event_id",
+        F.round(denan("skew_raw") + F.lit(ROUND_EPS), 4).alias("skew_7d"),
+        F.round(denan("kurt_raw") + F.lit(ROUND_EPS), 4).alias("kurt_7d"),
+    )
+
+
+def o_pit_skew_kurt() -> str:
+    t7 = _tail(MS_7D, HOP_1H)
+    n = f"count(v) FILTER (WHERE {t7})"
+    # engine SKEW = population g1; DuckDB skewness() is sample G1:
+    # g1 = G1 * (n-2) / sqrt(n*(n-1)). kurtosis_pop is already population.
+    return _oracle(
+        f"""
+        CASE WHEN {n} < 3 OR var_pop(v) FILTER (WHERE {t7}) = 0 THEN NULL
+             ELSE round(skewness(v) FILTER (WHERE {t7})
+                        * ({n} - 2) / sqrt({n} * ({n} - 1.0)) + 0.0000001, 4) END AS skew_7d,
+        CASE WHEN {n} < 4 OR var_pop(v) FILTER (WHERE {t7}) = 0 THEN NULL
+             ELSE round(kurtosis_pop(v) FILTER (WHERE {t7}) + 0.0000001, 4) END AS kurt_7d
+        """
+    )
+
+
+def q_pit_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM + APPROX_FREQUENT_K + UNIQUE_TOP_K (map/list outputs
+    serialized to csv for the driver canonicalizer)."""
+    df = _pit(
+        spark, sf_dir, "hist",
+        (
+            Aggregation("event_type", Operation.HISTOGRAM, windows=(W7D,)),
+            Aggregation("event_type", Operation.APPROX_FREQUENT_K,
+                        arg_map=(("k", "2"),), windows=(W7D,)),
+            Aggregation("value", Operation.UNIQUE_TOP_K,
+                        arg_map=(("k", "3"),), windows=(W7D,)),
+        ),
+        {
+            "event_type_histogram_7d": ("hist_raw", None),
+            "event_type_approx_frequent_k_7d": ("freq_raw", None),
+            "value_unique_top3_7d": ("utop_raw", None),
+        },
+    )
+    return df.select(
+        "event_id",
+        _map_str("hist_raw", scaled=False).alias("hist_7d"),
+        _map_str_ordered("freq_raw").alias("freq2_7d"),
+        _arr_str("utop_raw").alias("utop3_7d"),
+    )
+
+
+def o_pit_histogram() -> str:
+    t7 = _tail(MS_7D, HOP_1H)
+    utop = (f"CASE WHEN count(v) FILTER (WHERE {t7}) = 0 THEN NULL "
+            f"ELSE list_slice(list_reverse_sort(list_distinct("
+            f"list(v) FILTER (WHERE {t7}))), 1, 3) END")
+    return f"""
+    WITH j AS (
+      SELECT q.event_id AS event_id, epoch_ms(q.ts) AS qts,
+             e.value AS v, e.event_type AS et, epoch_ms(e.ts) AS ets
+      FROM events q LEFT JOIN events e
+        ON e.user_id = q.user_id AND epoch_ms(e.ts) <= epoch_ms(q.ts)
+    ),
+    base AS (
+      SELECT event_id, {_o_arr_str(utop)} AS utop3_7d
+      FROM j GROUP BY event_id, qts
+    ),
+    c AS (
+      SELECT event_id, et, count(*) AS cnt
+      FROM j WHERE {t7} AND et IS NOT NULL GROUP BY event_id, et
+    ),
+    h AS (
+      SELECT event_id, string_agg(et || ':' || cnt, ',' ORDER BY et) AS hist_7d
+      FROM c GROUP BY event_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_id
+                                   ORDER BY cnt DESC, et ASC) AS rk
+      FROM c
+    ),
+    f AS (
+      SELECT event_id,
+             string_agg(et || ':' || cnt, ',' ORDER BY cnt DESC, et ASC) AS freq2_7d
+      FROM r WHERE rk <= 2 GROUP BY event_id
+    )
+    SELECT base.event_id, h.hist_7d, f.freq2_7d, base.utop3_7d
+    FROM base LEFT JOIN h USING (event_id) LEFT JOIN f USING (event_id)
+    """
+
+
+def q_pit_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed non-COUNT aggregation: SUM of value by event_type bucket
+    (map output, Extensions.scala bucketed unpack)."""
+    df = _pit(
+        spark, sf_dir, "bsum",
+        (Aggregation("value", Operation.SUM, windows=(W1D,), buckets=("event_type",)),),
+        {"value_sum_1d_by_event_type": ("bsum_raw", None)},
+    )
+    return df.select(
+        "event_id", _map_str("bsum_raw", scaled=True).alias("sum_1d_by_et"))
+
+
+def o_pit_bucketed() -> str:
+    t1 = _tail(MS_1D, HOP_1H)
+    return f"""
+    WITH j AS (
+      SELECT q.event_id AS event_id, epoch_ms(q.ts) AS qts,
+             e.value AS v, e.event_type AS et, epoch_ms(e.ts) AS ets
+      FROM events q LEFT JOIN events e
+        ON e.user_id = q.user_id AND epoch_ms(e.ts) <= epoch_ms(q.ts)
+    ),
+    base AS (SELECT DISTINCT event_id FROM j),
+    c AS (
+      SELECT event_id, et,
+             CAST(round(sum(v) * 10000 + 0.0000001) AS BIGINT) AS sv
+      FROM j WHERE {t1} AND et IS NOT NULL AND v IS NOT NULL
+      GROUP BY event_id, et
+    ),
+    m AS (
+      SELECT event_id, string_agg(et || ':' || sv, ',' ORDER BY et) AS sum_1d_by_et
+      FROM c GROUP BY event_id
+    )
+    SELECT base.event_id, m.sum_1d_by_et FROM base LEFT JOIN m USING (event_id)
+    """
+
+
+def q_pit_vector_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector (list) and map input shapes: each event contributes a list
+    [v, 2v] (flattened into the window) and a map {'a': v, 'b': v+1}
+    (aggregated per key) — pit_join.py vector/map unpack paths."""
+    src = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(
+            selects={"user_id": "user_id", "event_id": "event_id",
+                     "vals": "array(value, value * 2)",
+                     "vm": "map('a', value, 'b', value + 1)"},
+            time_column="ts",
+        ),
+    )
+    gb = GroupBy(
+        name="vecmap", sources=(src,), key_columns=("user_id",),
+        aggregations=(
+            Aggregation("vals", Operation.SUM, windows=(W1D,)),
+            Aggregation("vm", Operation.SUM, windows=(W1D,)),
+        ),
+        tie_breaker_column="event_id",
+    )
+    left = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", F.col("event_id").alias("__row_id"))
+    )
+    res = compute_group_by(spark, gb, left, row_id="__row_id")
+    return res.select(
+        F.col("__row_id").alias("event_id"),
+        F.round(F.col("vals_sum_1d") + F.lit(ROUND_EPS), 4).alias("vec_sum_1d"),
+        _map_str("vm_sum_1d", scaled=True).alias("map_sum_1d"),
+    )
+
+
+def o_pit_vector_map() -> str:
+    t1 = _tail(MS_1D, HOP_1H)
+    n = f"count(v) FILTER (WHERE {t1})"
+    s = f"sum(v) FILTER (WHERE {t1})"
+    return _oracle(
+        f"""
+        round(3 * {s} + 0.0000001, 4) AS vec_sum_1d,
+        CASE WHEN {n} = 0 THEN NULL ELSE
+          'a:' || CAST(round({s} * 10000 + 0.0000001) AS BIGINT)
+          || ',b:' || CAST(round(({s} + {n}) * 10000 + 0.0000001) AS BIGINT)
+        END AS map_sum_1d
+        """
+    )
+
+
 def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = extensions.with_lag_lead(
@@ -694,6 +900,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_recency": q_pit_recency,
         "pit_distinct_var_pctl": q_pit_distinct_var_pctl,
         "pit_topk": q_pit_topk,
+        "pit_skew_kurt": q_pit_skew_kurt,
+        "pit_histogram": q_pit_histogram,
+        "pit_bucketed": q_pit_bucketed,
+        "pit_vector_map": q_pit_vector_map,
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
         "join_flagship": q_join_flagship,
@@ -718,6 +928,10 @@ def oracle_sql() -> dict[str, str]:
         "pit_recency": o_pit_recency(),
         "pit_distinct_var_pctl": o_pit_distinct_var_pctl(),
         "pit_topk": o_pit_topk(),
+        "pit_skew_kurt": o_pit_skew_kurt(),
+        "pit_histogram": o_pit_histogram(),
+        "pit_bucketed": o_pit_bucketed(),
+        "pit_vector_map": o_pit_vector_map(),
         "lag_lead": o_lag_lead(),
         "sessionize": o_sessionize(),
         "join_flagship": o_join_flagship(),

@@ -353,10 +353,14 @@ def _fallback_part(part, in_t, col, cols, valid, is_ev, enc_all, gid_q, q_ts, ba
             items = to_obj(col, pos)
             lens = np.array([len(d) for d in items], dtype=np.int64)
             enc_rep = np.repeat(enc_all[pos], lens)
+            # MapArray.to_pylist yields list-of-(k,v)-tuples (np.array with
+            # dtype=object can silently turn the inner lists into ndarrays);
+            # dicts appear only from older pandas-path inputs
+            pairs = len(items) and not isinstance(items[0], dict)
             mkeys = np.array([str(k) for d in items for k, _ in d], dtype=object) \
-                if len(items) and isinstance(items[0], list) else \
+                if pairs else \
                 np.array([str(k) for d in items for k in d], dtype=object)
-            raw_vals = [v for d in items for _, v in d] if len(items) and isinstance(items[0], list) \
+            raw_vals = [v for d in items for _, v in d] if pairs \
                 else [v for d in items for v in d.values()]
             mvals = np.array(raw_vals, dtype=object)
             vmask = np.array([v is not None for v in mvals], dtype=bool)
