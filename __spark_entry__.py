@@ -813,7 +813,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipline_chronon_spark.operators.similarity import lsh_bucketed_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_bucketed_topk(emb, k=3, n_planes=3)
+    return lsh_bucketed_topk(emb, k=3, n_planes=4, n_bands=4)
 
 
 def q_snapshot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,23 +1,36 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
- - brute_force_topk: exact cosine top-k. Compute shape = block matmul:
-   the query block rides mapInPandas (Arrow → numpy), the corpus is a
-   broadcast float64 matrix; each task does one GEMM + argpartition. At
-   100 TB this is the per-shard exact scorer (corpus shards broadcast
-   per executor, queries streamed).
- - lsh_bucketed_topk: random-hyperplane LSH (deterministic seed) assigns
-   each vector to sign-pattern buckets; candidates scored only within
-   bucket — the sub-linear scale path (recall measured in pytest vs brute
-   force).
+Two paths, both fully distributed (nothing data-scale ever reaches the
+driver — no toPandas/collect anywhere):
+
+ - brute_force_topk: exact cosine top-k via block-partitioned GEMM.
+   The corpus is hash-split into B blocks; each query row is replicated
+   to every block id; one cogrouped Arrow task per block scores its
+   queries x block matrix (numpy GEMM) and emits that block's top-k
+   candidates; a window merges per-block candidates to the global top-k.
+   Shuffle cost: corpus once + queries xB; per-task memory is one block,
+   so B scales with corpus bytes and no single node ever holds the corpus.
+ - lsh_bucketed_topk: multi-band random-hyperplane LSH. Each vector lands
+   in `n_bands` buckets (one per independent hyperplane set); candidates
+   are scored only within a (band, bucket) cell; cross-band duplicates are
+   deduped before the global top-k window. Multi-band bounds the recall
+   loss of any single band; `max_bucket` caps cell size (deterministic
+   stride subsample) so one hot bucket cannot go quadratic.
+
+All scoring emits are columnar (argsort/lexsort + np.repeat) — no per-row
+Python anywhere (BASELINE.json input_hint: vectorized pandas/Arrow UDFs).
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_OUT_SCHEMA = "{id} long, neighbor_id long, rank int, sim double"
 
 
 def _normalized_matrix(pdf_vecs: pd.Series) -> np.ndarray:
@@ -27,63 +40,127 @@ def _normalized_matrix(pdf_vecs: pd.Series) -> np.ndarray:
     return m / norms
 
 
+def _topk_candidates(q_ids: np.ndarray, q_mat: np.ndarray,
+                     c_ids: np.ndarray, c_mat: np.ndarray, k: int) -> pd.DataFrame:
+    """Columnar per-query top-k of q x c cosine sims, self excluded, ties by
+    neighbor id asc. One GEMM + one flat lexsort — no per-row Python."""
+    nq, nc = len(q_ids), len(c_ids)
+    sims = q_mat @ c_mat.T
+    # self-exclusion: same id gets -inf (ids unique per side)
+    sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
+    kk = min(k, nc)
+    # per-row order by (-sim, neighbor_id): flat lexsort with row-major key
+    row = np.repeat(np.arange(nq, dtype=np.int64), nc)
+    cand = np.tile(c_ids, nq)
+    order = np.lexsort((cand, -sims.reshape(-1), row))
+    take = (np.arange(nq, dtype=np.int64)[:, None] * nc
+            + np.arange(kk, dtype=np.int64)[None, :]).reshape(-1)
+    sel = order[take]
+    out_sim = sims.reshape(-1)[sel]
+    keep = np.isfinite(out_sim)  # drops self-only rows (nc==1 self match)
+    return pd.DataFrame({
+        "q": np.repeat(q_ids, kk)[keep],
+        "n": cand[sel][keep],
+        "s": out_sim[keep],
+    })
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    n_blocks: int = 8,
+    n_qchunks: int = 4,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per vector (self excluded), ties broken
-    by neighbor id ascending. Returns (vec_id, neighbor_id, rank, sim)."""
-    spark = df.sparkSession
-    corpus = df.select(id_col, vec_col).toPandas()
-    ids = corpus[id_col].to_numpy(dtype=np.int64)
-    mat = _normalized_matrix(corpus[vec_col])
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    by neighbor id ascending. Returns (vec_id, neighbor_id, rank, sim).
 
-    def score(batches):
-        c_ids, c_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = _normalized_matrix(pdf[vec_col])
-            sims = q @ c_mat.T  # GEMM: the whole batch scored at once
-            out_rows = []
-            for i in range(len(q_ids)):
-                s = sims[i]
-                # order by (-sim, neighbor_id), excluding self
-                mask = c_ids != q_ids[i]
-                cand_ids = c_ids[mask]
-                cand_s = s[mask]
-                top = np.lexsort((cand_ids, -cand_s))[:k]
-                for r, j in enumerate(top):
-                    out_rows.append((int(q_ids[i]), int(cand_ids[j]), r + 1, float(cand_s[j])))
-            yield pd.DataFrame(out_rows, columns=[id_col, "neighbor_id", "rank", "sim"])
+    Scale shape: a (n_qchunks x n_blocks) block-matrix grid — corpus
+    hash-split into B blocks replicated per query chunk, queries hash-split
+    into Q chunks replicated per block. Each grid cell is one cogrouped
+    Arrow GEMM over bounded (|q|/Q x |c|/B) matrices; a window merges the
+    B*k per-query candidates to the global top-k. Shuffle volume
+    |q|*B + |c|*Q; per-task memory one cell — no node ever holds either
+    full side, nothing reaches the driver.
+    """
+    base = df.select(id_col, vec_col)
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+    qch = F.pmod(F.xxhash64(F.col(id_col), F.lit(1)), F.lit(n_qchunks))
+    corpus = base.select(
+        "*", blk.alias("__blk"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_qchunks - 1))).alias("__qc"))
+    queries = base.select(
+        "*", qch.alias("__qc"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__blk"))
 
-    return df.select(id_col, vec_col).mapInPandas(
-        score, schema=f"{id_col} long, neighbor_id long, rank int, sim double"
+    def score(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({"q": [], "n": [], "s": []}).astype(
+                {"q": "int64", "n": "int64", "s": "float64"})
+        return _topk_candidates(
+            qpdf[id_col].to_numpy(dtype=np.int64), _normalized_matrix(qpdf[vec_col]),
+            cpdf[id_col].to_numpy(dtype=np.int64), _normalized_matrix(cpdf[vec_col]),
+            k)
+
+    cand = (
+        queries.groupBy("__qc", "__blk").cogroup(corpus.groupBy("__qc", "__blk"))
+        .applyInPandas(score, schema="q long, n long, s double")
+    )
+    return _global_topk(cand, id_col, k)
+
+
+def _global_topk(cand: DataFrame, id_col: str, k: int) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("q").orderBy(F.desc("s"), F.asc("n"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("q").alias(id_col), F.col("n").alias("neighbor_id"),
+                F.col("rank").cast("int").alias("rank"), F.col("s").alias("sim"))
     )
 
 
-def hyperplane_signs(vec_col: str, n_planes: int, dim: int, seed: int = 7) -> F.Column:
-    """Deterministic random-hyperplane sign pattern as an int bucket id.
-    Plane weights derive from a seeded numpy RNG (embedded as literals)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    bits = []
-    for p_i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(w)) for w in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, w: x.cast("double") * w),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1 << p_i)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return bucket.cast("long")
+def band_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bands: int,
+    planes_per_band: int,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, vec, band, bucket) — one row per band. Hyperplane signs are
+    computed Arrow-batch-wise as a single (n x dim) @ (dim x total_planes)
+    GEMM; the plane matrix is derived per-task from the seed (no driver
+    state, no per-row Python)."""
+    from pyspark.sql import types as T
+
+    total = n_bands * planes_per_band
+    out_schema = df.select(id_col, vec_col).schema.add(
+        "__buckets", T.ArrayType(T.LongType()))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        weights = (1 << np.arange(planes_per_band, dtype=np.int64))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if planes is None:
+                planes = np.random.default_rng(seed).standard_normal((m.shape[1], total))
+            bits = (m @ planes >= 0).reshape(len(pdf), n_bands, planes_per_band)
+            codes = bits @ weights  # (n, n_bands) int64 bucket codes
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                vec_col: pdf[vec_col],
+                "__buckets": list(codes),
+            })
+
+    with_b = df.select(id_col, vec_col).mapInPandas(assign, schema=out_schema)
+    return with_b.select(
+        id_col, vec_col,
+        F.posexplode("__buckets").alias("band", "bucket"))
 
 
 def lsh_bucketed_topk(
@@ -92,30 +169,31 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     k: int = 3,
     n_planes: int = 4,
+    n_bands: int = 4,
     seed: int = 7,
+    max_bucket: int = 4096,
 ) -> DataFrame:
-    """Approximate top-k: score only within each hyperplane-sign bucket.
-    Scale path: shuffle keyed by bucket, cost sum(bucket^2) << n^2.
-    Recall vs brute force is property-tested; rank/sim semantics match."""
-    dim = len(df.select(vec_col).first()[0])
-    with_b = df.select(id_col, vec_col).withColumn(
-        "bucket", hyperplane_signs(vec_col, n_planes, dim, seed))
+    """Approximate top-k: score only within (band, bucket) cells across
+    n_bands independent hyperplane tables, dedupe cross-band candidate
+    pairs, window-merge to global top-k. Cost sum(cell^2) << n^2; recall
+    vs brute force is property-tested (tests/test_data_ops.py)."""
+    cells = band_buckets(df, id_col, vec_col, n_bands, n_planes, seed)
 
-    def score(key, pdf):
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
-            return pd.DataFrame(columns=[id_col, "neighbor_id", "rank", "sim"])
+            return pd.DataFrame({"q": [], "n": [], "s": []}).astype(
+                {"q": "int64", "n": "int64", "s": "float64"})
+        if len(pdf) > max_bucket:
+            # deterministic stride subsample: bounded cell cost, documented
+            # recall tradeoff on pathological hot buckets
+            pdf = pdf.sort_values(id_col).iloc[:: (len(pdf) // max_bucket) + 1]
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         m = _normalized_matrix(pdf[vec_col])
-        sims = m @ m.T
-        rows = []
-        for i in range(len(ids)):
-            mask = np.arange(len(ids)) != i
-            cand_ids, cand_s = ids[mask], sims[i][mask]
-            top = np.lexsort((cand_ids, -cand_s))[:k]
-            for r, j in enumerate(top):
-                rows.append((int(ids[i]), int(cand_ids[j]), r + 1, float(cand_s[j])))
-        return pd.DataFrame(rows, columns=[id_col, "neighbor_id", "rank", "sim"])
+        return _topk_candidates(ids, m, ids, m, k)
 
-    return with_b.groupBy("bucket").applyInPandas(
-        score, schema=f"{id_col} long, neighbor_id long, rank int, sim double"
+    cand = (
+        cells.groupBy("band", "bucket")
+        .applyInPandas(score, schema="q long, n long, s double")
+        .dropDuplicates(["q", "n"])  # same pair may surface in many bands
     )
+    return _global_topk(cand, id_col, k)
