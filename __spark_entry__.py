@@ -658,14 +658,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipline_chronon_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 1000")
-    out = ngram_jaccard_pairs(docs, threshold=0.7)
+    out = ngram_jaccard_pairs(docs, threshold=0.7, df_cap=0.1)
     return out.select("id_a", "id_b", "n_shared",
                       F.round(F.col("jaccard") + F.lit(ROUND_EPS), 6).alias("jaccard"))
 
 
 def o_dedup_ngram_jaccard() -> str:
+    # df_cap=0.1 on both sides: shingles present in >10% of docs carry no
+    # near-dup signal and make the self-join quadratic (the synthetic docs
+    # share one tiny vocabulary)
     return f"""
-    WITH sh AS (SELECT * FROM ({_SHINGLES_SQL}) WHERE doc_id < 1000),
+    WITH sh0 AS (SELECT * FROM ({_SHINGLES_SQL}) WHERE doc_id < 1000),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM sh0),
+    hot AS (SELECT shingle FROM sh0, nd GROUP BY shingle, nd.n
+            HAVING count(*) > 0.1 * any_value(nd.n)),
+    sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
     shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -682,11 +689,23 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sig = minhash_signature(docs, num_hashes=8)
-    return sig.select("doc_id", F.array_join("minhash", ",").alias("minhash"))
+    return sig.select(
+        "doc_id",
+        F.array_join(F.transform("minhash", lambda x: x.cast("string")), ",")
+        .alias("minhash"))
+
+
+_H60 = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
+
+
+def _o_minhash(i: int) -> str:
+    from zipline_chronon_spark.operators.dedup import PERM_SALTS
+
+    return f"min(xor({_H60}, {PERM_SALTS[i]}))"
 
 
 def o_dedup_minhash_sig() -> str:
-    mins = ", ".join(f"min(md5('{i}:' || shingle))" for i in range(8))
+    mins = ", ".join(_o_minhash(i) for i in range(8))
     return f"""
     WITH sh AS ({_SHINGLES_SQL})
     SELECT doc_id, array_to_string([{mins}], ',') AS minhash FROM sh GROUP BY doc_id
@@ -697,19 +716,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipline_chronon_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 2000")
-    return minhash_lsh_pairs(docs, num_hashes=8, band_size=4)
+    return minhash_lsh_pairs(docs, num_hashes=16, band_size=4, max_bucket=100)
 
 
 def o_dedup_minhash_lsh() -> str:
-    mins = ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8))
+    mins = ", ".join(f"{_o_minhash(i)} AS h{i}" for i in range(16))
     bands = ", ".join(
         "'%d' || '|' || %s" % (bi, " || '|' || ".join(f"h{4 * bi + j}" for j in range(4)))
-        for bi in range(2)
+        for bi in range(4)
     )
     return f"""
     WITH sh AS (SELECT * FROM ({_SHINGLES_SQL}) WHERE doc_id < 2000),
     sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-    bands AS (SELECT doc_id, unnest([{bands}]) AS band_key FROM sig)
+    bands0 AS (SELECT doc_id, unnest([{bands}]) AS band_key FROM sig),
+    hot AS (SELECT band_key FROM bands0 GROUP BY 1 HAVING count(*) > 100),
+    bands AS (SELECT * FROM bands0 WHERE band_key NOT IN (SELECT band_key FROM hot))
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     """

@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 from zipline_chronon_spark.operators.text import char_ngrams
 
 
+def _fan_out(df: DataFrame, id_col: str) -> DataFrame:
+    """Explicit-count repartition before explode/hash-heavy maps: a small
+    single-file scan arrives as ~1 task, and AQE would coalesce a keyed
+    repartition() right back (byte-based sizing can't see the compute
+    amplification). An explicit numPartitions is respected by AQE."""
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n, id_col)
+
+
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per doc: content hash, size of its exact-duplicate group, canonical
     (min id) representative. Scale: one shuffle keyed by the 128-bit hash."""
@@ -59,6 +68,7 @@ def ngram_jaccard_pairs(
     that fraction of the corpus (stopword shingles dominate the self-join
     and carry no near-dup signal) — the standard cost knob; None = exact
     semantics. LSH (below) is the sub-linear path."""
+    df = _fan_out(df, id_col)
     sh = distinct_shingles(df, id_col, text_col, n)
     if df_cap is not None:
         n_docs = df.count()
@@ -83,6 +93,22 @@ def ngram_jaccard_pairs(
     )
 
 
+# deterministic 60-bit XOR salts, one per MinHash permutation; shared with
+# the DuckDB oracles so signatures replay bit-for-bit
+import numpy as _np
+
+PERM_SALTS: tuple[int, ...] = tuple(
+    int(x) for x in _np.random.default_rng(13).integers(0, 1 << 60, size=64))
+
+# portable 60-bit shingle hash: big-endian first 15 hex chars of md5.
+# Spark: conv(substring(md5(g),1,15),16,10); DuckDB: ('0x'||substr(md5(g),1,15))::BIGINT
+_H60_SQL_DUCK = "CAST(('0x' || substr(md5({g}), 1, 15)) AS BIGINT)"
+
+
+def _h60(g: "F.Column") -> "F.Column":
+    return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -90,18 +116,23 @@ def minhash_signature(
     n: int = 3,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """k-permutation MinHash: permutation i is md5(i:shingle); the signature
-    element is the lexicographic min. Per-row map-only — no shuffle."""
+    """k-permutation MinHash: ONE md5 per shingle hashed to a 60-bit int,
+    permutation i = XOR with a fixed salt (a bijection of the hash space —
+    the standard cheap permutation family); signature element i is the min.
+    Per-row map-only — no shuffle, md5 cost paid once regardless of k."""
     grams = F.array_distinct(char_ngrams(text_col, n))
+    base = F.transform(grams, _h60)
+    # projection boundary so the 8..64 salted passes reuse the hashed array
+    # (Catalyst keeps it: CollapseProject never duplicates non-cheap exprs)
+    hashed = df.select(F.col(id_col), base.alias("__h60"))
+    def xor_min(salt: int) -> "F.Column":
+        # 1-arg lambda via factory: a 2-arg lambda (incl. default-arg forms)
+        # would get the ARRAY INDEX bound to its second parameter
+        return F.array_min(F.transform(F.col("__h60"),
+                                       lambda h: h.bitwiseXOR(F.lit(salt))))
 
-    def perm_min(i: int) -> F.Column:
-        prefix = f"{i}:"
-        # NB: single-arg lambda only — pyspark binds a second lambda arg to
-        # the array INDEX, which would shadow the permutation id
-        return F.array_min(F.transform(grams, lambda g: F.md5(F.concat(F.lit(prefix), g))))
-
-    sig = F.array(*[perm_min(i) for i in range(num_hashes)])
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    sig = F.array(*[xor_min(s) for s in PERM_SALTS[:num_hashes]])
+    return hashed.select(F.col(id_col), sig.alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -111,12 +142,17 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: signature split into bands of ``band_size``;
     docs sharing any full band collide. Distinct (id_a < id_b) pairs.
 
     Scale: groupBy(band_key) — candidates generated per bucket only; with
-    b bands of r rows, collision prob = 1-(1-J^r)^b (tunable knee)."""
+    b bands of r rows, collision prob = 1-(1-J^r)^b (tunable knee).
+    ``max_bucket`` drops band buckets larger than that (skew defense: a
+    giant bucket is a degenerate exact-dup cluster — already caught by
+    exact_dup_groups — and its within-bucket join goes quadratic)."""
+    df = _fan_out(df, id_col)
     sig = minhash_signature(df, id_col, text_col, n, num_hashes)
     bands = sig.select(
         id_col,
@@ -126,6 +162,10 @@ def minhash_lsh_pairs(
             for bi in range(num_hashes // band_size)
         ])).alias("band_key"),
     )
+    if max_bucket is not None:
+        hot = (bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bn"))
+               .where(F.col("bn") > max_bucket).select("band_key"))
+        bands = bands.join(F.broadcast(hot), "band_key", "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -141,47 +181,61 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     Near-dup = small hamming distance between simhash values (pytest covers
     the property; pairing is a bit_count(a ^ b) <= t self-join)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # bit masks must be literals (shift-by-column is unsupported); bit 63 is
     # the sign bit in two's complement
     masks = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
-    # per token: xxhash64 -> for each bit, +1/-1; aggregate componentwise
-    bit_votes = F.aggregate(
-        toks,
-        F.array(*[F.lit(0).cast("long") for _ in range(64)]),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(*[
-                F.when(F.xxhash64(t).bitwiseAND(F.lit(m)) != 0, F.lit(1))
-                .otherwise(F.lit(-1)).cast("long")
-                for m in masks
-            ]),
-            lambda x, y: x + y,
-        ),
-    )
-    # materialize votes once (a projection boundary so the 64 bit reads
-    # don't each re-inline the whole token aggregate)
-    voted = df.select(F.col(id_col), bit_votes.alias("__votes"))
+    # explode tokens -> one xxhash64 per token -> SIMD-in-a-register vote
+    # counting: 16 agg sums, each packing FOUR 16-bit ones-counters (bit j's
+    # set-count in lanes of 16 bits), plus count(h) for the votes threshold
+    # (ones > n/2). 17 codegen'd agg buffers instead of 64 (64 separate sums
+    # blow the codegen method limit and fall back to interpreted updates).
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok"),
+    ).select(id_col, F.when(F.col("__tok").isNotNull(), F.xxhash64("__tok")).alias("__h"))
+    h = F.col("__h")
+    packed = []
+    for g in range(16):  # group g covers bits 4g..4g+3, one 16-bit lane each
+        term = F.lit(0).cast("long")
+        for lane in range(4):
+            j = 4 * g + lane
+            bit = F.shiftright(h, j).bitwiseAND(F.lit(1))
+            term = term + F.shiftleft(bit, 16 * lane)
+        packed.append(F.sum(F.when(h.isNull(), 0).otherwise(term)).alias(f"__p{g}"))
+    voted = toks.groupBy(id_col).agg(F.count("__h").alias("__n"), *packed)
     sim = F.lit(0).cast("long")
-    for j, m in enumerate(masks):
-        sim = sim.bitwiseOR(
-            F.when(F.element_at("__votes", j + 1) > 0, F.lit(m)).otherwise(F.lit(0)).cast("long")
-        )
+    n2 = F.col("__n")  # bit set iff ones-count*2 > n  <=>  votes > 0
+    for g in range(16):
+        for lane in range(4):
+            j = 4 * g + lane
+            ones = F.shiftright(F.col(f"__p{g}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
+            sim = sim.bitwiseOR(
+                F.when(ones * 2 > n2, F.lit(masks[j])).otherwise(F.lit(0)).cast("long"))
     return voted.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        max_hamming: int = 8) -> DataFrame:
-    """All pairs with hamming(simhash_a, simhash_b) <= max_hamming. Bucketed
-    by the top 16 bits first (scale path: near-dups almost always share the
-    high band; exactness traded for no all-pairs join)."""
-    s = simhash64(df, id_col, text_col).withColumn(
-        "band", F.shiftright("simhash", 48))
-    a, b = s.alias("a"), s.alias("b")
+    """All pairs with hamming(simhash_a, simhash_b) <= max_hamming, found by
+    multi-band LSH over the four 16-bit bands of the simhash: a pair with
+    hamming <= 3 is GUARANTEED to agree on at least one band (pigeonhole:
+    4 bands, <=3 differing bits); larger distances are found with high
+    probability. Candidates are deduped across bands, then exact-hamming
+    filtered — no all-pairs join, recall not tied to one arbitrary band."""
+    s = simhash64(_fan_out(df, id_col), id_col, text_col)
+    bands = s.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", 16 * j).bitwiseAND(F.lit(0xFFFF)) for j in range(4)
+        ])).alias("band_id", "band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band") == F.col("b.band"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .withColumn("hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
