@@ -1,0 +1,97 @@
+"""Lambda-merge parity: batch sketch state at T0 merged with post-T0
+stream tiles equals the batch engine evaluated at T1 — the reference's
+strongest e2e oracle (offline join == online fetch,
+FetcherTestUtil.scala:245-740; SawtoothOnlineAggregator.scala:86-167
+lambdaAggregateFinalized)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from zipline_chronon_spark.api import Aggregation, EventSource, GroupBy, Operation, Query
+from zipline_chronon_spark.operators.pit_join import compute_key_states
+from zipline_chronon_spark.streaming import lambda_merge
+
+BASE = 1_700_000_000_000
+HOP_MS = 300_000  # 5 minutes
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rng = np.random.default_rng(5)
+    n = 4000
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 7, size=n).astype(str),
+        "ts_ms": BASE + rng.integers(0, 2 * 86_400_000, size=n),
+        "v": rng.normal(size=n).round(3),
+        "cat": [f"c{int(x)}" for x in rng.integers(0, 40, size=n)],
+    })
+    sdf = spark.createDataFrame(pdf.astype({"ts_ms": "int64"}))
+    sdf.createOrReplaceTempView("lam_events")
+    return pdf
+
+
+def _gb():
+    return GroupBy(
+        name="lam",
+        sources=(EventSource(table="lam_events", query=Query(time_column="ts_ms")),),
+        key_columns=("k",),
+        aggregations=(
+            Aggregation("cat", Operation.APPROX_UNIQUE_COUNT, windows=(None,)),
+            Aggregation("v", Operation.APPROX_PERCENTILE,
+                        arg_map=(("percentiles", "[0.25, 0.5, 0.9]"),), windows=(None,)),
+        ),
+    )
+
+
+def test_lambda_merge_equals_batch(spark, events):
+    gb = _gb()
+    t0 = BASE + 86_400_000  # batch end: day 1
+    t0 = (t0 // HOP_MS) * HOP_MS  # tile-aligned
+    t1 = t0 + 12 * 3_600_000  # fetch point: 12h of "stream" later
+
+    df = spark.table("lam_events")
+    batch_events = df.where(F.col("ts_ms") <= t0)
+    stream_events = df.where((F.col("ts_ms") > t0) & (F.col("ts_ms") <= t1))
+
+    # offline half: tiles -> collapsed per-key batch state (GroupByUpload)
+    batch_tiles = lambda_merge.sketch_tiles(batch_events, gb, HOP_MS, ts_col="ts_ms")
+    batch_state = lambda_merge.collapse(batch_tiles, gb)
+    # online half: post-batch hop tiles
+    stream_tiles = lambda_merge.sketch_tiles(stream_events, gb, HOP_MS, ts_col="ts_ms")
+
+    got = (lambda_merge.lambda_finalized(batch_state, stream_tiles, gb)
+           .toPandas().set_index("k").sort_index())
+
+    # oracle: the batch engine evaluated directly at t1
+    exp = (compute_key_states(spark, gb, at_ts_ms=t1)
+           .toPandas().set_index("k").sort_index())
+
+    assert list(got.index) == list(exp.index)
+    # sparse/exact regime -> equality, not allclose-with-slack
+    assert got["cat_approx_unique_count"].tolist() == \
+        exp["cat_approx_unique_count"].tolist()
+    for g, e in zip(got["v_approx_percentile"], exp["v_approx_percentile"]):
+        np.testing.assert_allclose(list(g), list(e), rtol=0, atol=1e-12)
+
+
+def test_lambda_merge_order_invariance(spark, events):
+    """Tiles merged in any grouping give identical finalized values (the
+    property that makes the IR safe for salted partials and shuffles)."""
+    gb = _gb()
+    df = spark.table("lam_events")
+    tiles = lambda_merge.sketch_tiles(df, gb, HOP_MS, ts_col="ts_ms")
+    one = lambda_merge.finalize(lambda_merge.collapse(tiles, gb), gb).toPandas()
+    # split tiles by hop parity, collapse each half, merge the halves
+    even = tiles.where((F.col("hop_start_ms") / HOP_MS).cast("long") % 2 == 0)
+    odd = tiles.where((F.col("hop_start_ms") / HOP_MS).cast("long") % 2 == 1)
+    two = lambda_merge.lambda_finalized(
+        lambda_merge.collapse(even, gb), odd, gb).toPandas()
+    a = one.set_index("k").sort_index()
+    b = two.set_index("k").sort_index()
+    assert a["cat_approx_unique_count"].tolist() == b["cat_approx_unique_count"].tolist()
+    for g, e in zip(a["v_approx_percentile"], b["v_approx_percentile"]):
+        np.testing.assert_allclose(list(g), list(e), rtol=0, atol=1e-12)

@@ -25,6 +25,12 @@ def _bounded_gb(path):
             Aggregation("text", Operation.LAST, windows=(specs.W1D,)),
             Aggregation("text", Operation.LAST_K, arg_map=(("k", "3"),), windows=(specs.W1D,)),
             Aggregation("len_text", Operation.MIN, windows=(specs.W1D,)),
+            # approx ops survive salting too: slice replicas carry the raw
+            # events, so the query-time finalizer sees the identical set
+            Aggregation("text", Operation.APPROX_UNIQUE_COUNT, windows=(specs.W1D,)),
+            Aggregation("len_text", Operation.APPROX_PERCENTILE,
+                        arg_map=(("percentiles", "[0.5]"),), windows=(specs.W1D,)),
+            Aggregation("text", Operation.TOP_K, arg_map=(("k", "2"),), windows=(specs.W1D,)),
         ),
         tie_breaker_column="turn_idx",
     )
