@@ -144,12 +144,134 @@ def test_temporal_entities_vs_oracle(spark, tmp_path_factory):
     assert not bad, f"{len(bad)} mismatches, first: {bad[:2]}"
 
 
-def test_non_deletable_rejected(spark):
+def _insert_only_rows(snap_pdf, mut_pdf, key, T, window):
+    """Literal rule for the insert-only tier: snapshot rows of d-1 in window
+    + AFTER-image mutations with mutation_ts < T, ts in window and ts < T;
+    before-images ignored (reference delete throws for non-deletable ops).
+    Returns rows sorted by ts."""
+    day = T // MS_DAY
+    prev_ds = pd.Timestamp((day - 1) * MS_DAY, unit="ms").strftime("%Y-%m-%d")
+    hop = window.tail_hop_millis() if window else None
+    tail = ((T - window.millis) // hop) * hop if window else None
+    snap = snap_pdf[(snap_pdf["ds"] == prev_ds) & (snap_pdf["key"] == key)]
+    if window:
+        snap = snap[snap["ts_ms"] >= tail]
+    muts = mut_pdf[(mut_pdf["key"] == key) & (~mut_pdf["is_before"])
+                   & (mut_pdf["mutation_ts"] >= day * MS_DAY)
+                   & (mut_pdf["mutation_ts"] < T) & (mut_pdf["ts_ms"] < T)]
+    if window is not None:
+        muts = muts[muts["ts_ms"] >= tail]
+    rows = pd.concat([snap[["value", "ts_ms"]], muts[["value", "ts_ms"]]])
+    return rows.sort_values("ts_ms", kind="stable")
+
+
+def test_insert_only_ops_vs_oracle(spark, tmp_path_factory):
+    """MIN + LAST_K over mutations (VERDICT item 8's done-criterion) plus
+    HISTOGRAM with true reversals."""
+    snap_pdf, mut_pdf = _gen_cdc(seed=11)
+    base = tmp_path_factory.mktemp("tent2")
+    spark.createDataFrame(snap_pdf).write.mode("overwrite").parquet(str(base / "snap"))
+    spark.createDataFrame(mut_pdf).write.mode("overwrite").parquet(str(base / "mut"))
+
+    gb = GroupBy(
+        name="nd",
+        sources=(EntitySource(
+            snapshot_table=str(base / "snap"),
+            mutation_table=str(base / "mut"),
+            query=Query(time_column="ts_ms",
+                        selects={"key": "key", "value": "value",
+                                 "cat": "CASE WHEN value % 2 = 0 THEN 'e' ELSE 'o' END"}),
+        ),),
+        key_columns=("key",),
+        aggregations=(
+            Aggregation("value", Operation.MIN, windows=(W1D,)),
+            Aggregation("value", Operation.LAST_K, arg_map=(("k", "2"),), windows=(None,)),
+            Aggregation("value", Operation.HISTOGRAM, windows=(W1D,)),
+            Aggregation("value", Operation.SUM, windows=(W1D,), buckets=("cat",)),
+        ),
+    )
+    rng = np.random.default_rng(3)
+    qrows = [(int(rng.integers(0, 6)),
+              (BASE_DAY + 1 + int(rng.integers(0, 3))) * MS_DAY + int(rng.integers(0, MS_DAY)),
+              i) for i in range(150)]
+    q_pdf = pd.DataFrame(qrows, columns=["key", "qts", "qid"])
+    q = spark.createDataFrame(q_pdf).withColumn("__row_id", F.col("qid").cast("long"))
+
+    got = compute_entities_temporal(spark, gb, q, row_id="__row_id", query_time_col="qts")
+    res = got.toPandas().sort_values("__row_id").reset_index(drop=True)
+    assert len(res) == len(q_pdf)
+
+    bad = []
+    for _, r in res.iterrows():
+        qr = q_pdf[q_pdf["qid"] == r["__row_id"]].iloc[0]
+        key, T = qr["key"], qr["qts"]
+        rows_w = _insert_only_rows(snap_pdf, mut_pdf, key, T, W1D)
+        rows_u = _insert_only_rows(snap_pdf, mut_pdf, key, T, None)
+        e_min = None if rows_w.empty else float(rows_w["value"].min())
+        e_last2 = None if rows_u.empty else rows_u["value"].tolist()[::-1][:2]
+        # histogram with reversals: signed counts, <=0 dropped
+        day = T // MS_DAY
+        prev_ds = pd.Timestamp((day - 1) * MS_DAY, unit="ms").strftime("%Y-%m-%d")
+        hop = W1D.tail_hop_millis()
+        tail = ((T - W1D.millis) // hop) * hop
+        hsnap = snap_pdf[(snap_pdf["ds"] == prev_ds) & (snap_pdf["key"] == key)
+                         & (snap_pdf["ts_ms"] >= tail)]
+        hmut = mut_pdf[(mut_pdf["key"] == key)
+                       & (mut_pdf["mutation_ts"] >= day * MS_DAY)
+                       & (mut_pdf["mutation_ts"] < T)
+                       & (mut_pdf["ts_ms"] >= tail) & (mut_pdf["ts_ms"] < T)]
+        hcnt: dict[str, int] = {}
+        bsum: dict[str, float] = {}
+        for v in hsnap["value"]:
+            hcnt[str(v)] = hcnt.get(str(v), 0) + 1
+            c = "e" if v % 2 == 0 else "o"
+            bsum[c] = bsum.get(c, 0.0) + v
+        for _, m in hmut.iterrows():
+            s = -1 if m["is_before"] else 1
+            hcnt[str(m["value"])] = hcnt.get(str(m["value"]), 0) + s
+            c = "e" if m["value"] % 2 == 0 else "o"
+            bsum[c] = bsum.get(c, 0.0) + s * m["value"]
+        e_hist = {k: v for k, v in hcnt.items() if v > 0} or None
+        # bucketed SUM: counts gate the null (cnt<=0 -> bucket absent)
+        bcnt: dict[str, int] = {}
+        for v in hsnap["value"]:
+            c = "e" if v % 2 == 0 else "o"
+            bcnt[c] = bcnt.get(c, 0) + 1
+        for _, m in hmut.iterrows():
+            c = "e" if m["value"] % 2 == 0 else "o"
+            bcnt[c] = bcnt.get(c, 0) + (-1 if m["is_before"] else 1)
+        e_bsum = {k: v for k, v in bsum.items() if bcnt.get(k, 0) > 0} or None
+
+        def ok_scalar(a, b):
+            if a is None or (isinstance(a, float) and a != a):
+                return b is None
+            return abs(float(a) - float(b)) < 1e-6
+
+        g_last2 = r["value_last2"]
+        ok_last = (e_last2 is None and g_last2 is None) or (
+            g_last2 is not None and e_last2 is not None
+            and [float(x) for x in g_last2] == [float(x) for x in e_last2])
+        g_hist = dict(r["value_histogram_1d"]) if r["value_histogram_1d"] is not None else None
+        g_bs = ({k: float(v) for k, v in dict(r["value_sum_1d_by_cat"]).items()}
+                if r["value_sum_1d_by_cat"] is not None else None)
+        e_bs = {k: float(v) for k, v in e_bsum.items()} if e_bsum else None
+        ok_bs = g_bs == e_bs or (
+            g_bs is not None and e_bs is not None and set(g_bs) == set(e_bs)
+            and all(abs(g_bs[k] - e_bs[k]) < 1e-6 for k in g_bs))
+        if not (ok_scalar(r["value_min_1d"], e_min) and ok_last
+                and g_hist == e_hist and ok_bs):
+            bad.append((int(r["__row_id"]),
+                        dict(min=r["value_min_1d"], last2=g_last2, hist=g_hist, bs=g_bs),
+                        dict(min=e_min, last2=e_last2, hist=e_hist, bs=e_bs)))
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:2]}"
+
+
+def test_unsupported_op_rejected(spark):
     gb = GroupBy(
         name="bad",
         sources=(EntitySource(snapshot_table="x", mutation_table="y"),),
         key_columns=("key",),
-        aggregations=(Aggregation("value", Operation.MAX),),
+        aggregations=(Aggregation("value", Operation.APPROX_FREQUENT_K),),
     )
-    with pytest.raises(NotImplementedError, match="deletable"):
+    with pytest.raises(NotImplementedError, match="mutation-path"):
         compute_entities_temporal(spark, gb, None)

@@ -27,9 +27,20 @@ replay collapses to difference arrays: +/- (sign * value) scattered at
 ``searchsorted`` positions, then one cumulative sum — no per-row Python,
 no per-query loop, exactly the engine's style.
 
-Non-deletable operators (MIN/MAX/FIRST/LAST/K-ops/…) cannot consume
-reversals (ColumnAggregator isDeletable=false in the reference) and are
-rejected at validation.
+Operator support tiers (reference: BaseAggregator.delete THROWS for
+non-deletable ops — BaseAggregator.scala:60-61 — and mutation backfill is
+documented deletable-only, GroupBy.scala:588-591):
+ - SUM / COUNT / AVERAGE: full reversal support via difference arrays.
+ - HISTOGRAM: full reversal support (the reference's Histogram.delete
+   decrements, SimpleAggregators.scala:324-326) via per-value difference
+   arrays; entries whose count drops to <= 0 are omitted.
+ - Everything else (MIN/MAX/FIRST/LAST/K-ops/distinct/percentiles):
+   INSERT-ONLY replay — before-images are ignored, after-images apply.
+   Exact for append-only mutation feeds; for feeds with reversals this is
+   a documented over-approximation (the reference refuses the case
+   entirely, throwing in delete). Implemented as filtered segment ranges
+   (activation mask over the window range) finished by the batch kernels.
+Buckets are supported on all tiers (per-bucket-value replay).
 """
 
 from __future__ import annotations
@@ -44,7 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from zipline_chronon_spark.api import AggregationPart, EntitySource, GroupBy, Operation
-from zipline_chronon_spark.operators import pit_join
+from zipline_chronon_spark.operators import kernels, pit_join
 
 MS_DAY = 86_400_000
 _SHIFT = pit_join._SHIFT
@@ -54,18 +65,25 @@ KIND_MUTATION = 1
 KIND_QUERY = 2
 
 DELETABLE = {Operation.SUM, Operation.COUNT, Operation.AVERAGE}
+# insert-only ops finished by the batch kernels over filtered ranges
+KERNEL_SAFE = {
+    Operation.MIN, Operation.MAX, Operation.FIRST, Operation.LAST,
+    Operation.LAST_K, Operation.FIRST_K, Operation.TOP_K, Operation.BOTTOM_K,
+    Operation.UNIQUE_COUNT, Operation.APPROX_UNIQUE_COUNT,
+    Operation.APPROX_PERCENTILE, Operation.UNIQUE_TOP_K,
+    Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS,
+}
 
 MUTATION_TS = "mutation_ts"
 REVERSAL = "is_before"
 
 
 def _validate(gb: GroupBy) -> None:
-    bad = [p.operation.name for p in gb.parts() if p.operation not in DELETABLE]
-    if bad:
-        raise NotImplementedError(
-            f"temporal entities require deletable (abelian-group) operators; got {bad}")
-    if any(p.bucket for p in gb.parts()):
-        raise NotImplementedError("bucketing not yet supported on the mutation path")
+    for p in gb.parts():
+        if p.operation not in KERNEL_SAFE and p.operation not in DELETABLE \
+                and p.operation != Operation.HISTOGRAM:
+            raise NotImplementedError(
+                f"temporal entities: no mutation-path support for {p.operation.name}")
 
 
 def compute_entities_temporal(
@@ -180,6 +198,13 @@ def _chunk(pdf: pd.DataFrame, parts, ev_schema, keys) -> pd.DataFrame:
     sign = np.where(pdf["__rev"].to_numpy(dtype=bool), -1.0, 1.0)
     mut_ts = pdf["__mut_ts"].to_numpy(dtype=np.int64)
 
+    neg_inf = np.full(len(pdf), base - 1, dtype=np.int64)  # snapshot: always started
+    # strict head: mutations activate after max(mutation_ts, row.ts)
+    mut_start = np.maximum(mut_ts, ts)
+    start_all = np.where(is_snap, neg_inf, mut_start)
+    ones = np.ones(len(pdf), dtype=np.float64)
+    q_ts = ts[q_pos]
+
     data: dict = {pit_join.ROW_ID: pdf[pit_join.ROW_ID].to_numpy(dtype=np.int64)[q_pos]}
     for part in parts:
         col = pdf[part.input_column]
@@ -208,27 +233,91 @@ def _chunk(pdf: pd.DataFrame, parts, ev_schema, keys) -> pd.DataFrame:
             np.add.at(d, sub_pos, -weights[idx])
             return np.cumsum(d[:-1])
 
-        neg_inf = np.full(len(pdf), base - 1, dtype=np.int64)  # snapshot: always started
-        # strict head: mutations activate after max(mutation_ts, row.ts)
-        mut_start = np.maximum(mut_ts, ts)
-        ones = np.ones(len(pdf), dtype=np.float64)
+        def deletable_results(snap_mask, mut_mask):
+            """SUM/COUNT/AVERAGE with full reversal support."""
+            cnt = deltas(snap_mask, neg_inf, ones) + deltas(mut_mask, mut_start, sign * ones)
+            cnt = np.round(cnt).astype(np.int64)
+            if part.operation == Operation.COUNT:
+                return [int(c) if c > 0 else None for c in cnt]
+            vals = pit_join._as_numpy(col.fillna(0), in_t).astype(np.float64, copy=False)
+            s = deltas(snap_mask, neg_inf, vals) + deltas(mut_mask, mut_start, sign * vals)
+            if part.operation == Operation.SUM:
+                out_int = isinstance(pit_join._widen(in_t), T.LongType)
+                return [None if c <= 0 else (int(round(v)) if out_int else float(v))
+                        for v, c in zip(s, cnt)]
+            return [None if c <= 0 else float(v / c) for v, c in zip(s, cnt)]
 
-        cnt = deltas(snap_m, neg_inf, ones) + deltas(mut_m, mut_start, sign * ones)
-        cnt = np.round(cnt).astype(np.int64)
-        if part.operation == Operation.COUNT:
-            data[part.output_name] = pd.Series(
-                [int(c) if c > 0 else None for c in cnt], dtype=object)
-            continue
-        vals = pit_join._as_numpy(col.fillna(0), in_t).astype(np.float64, copy=False)
-        s = deltas(snap_m, neg_inf, vals) + deltas(mut_m, mut_start, sign * vals)
-        if part.operation == Operation.SUM:
-            out_int = isinstance(pit_join._widen(in_t), T.LongType)
-            data[part.output_name] = pd.Series(
-                [None if c <= 0 else (int(round(v)) if out_int else float(v))
-                 for v, c in zip(s, cnt)], dtype=object)
-        else:  # AVERAGE
-            data[part.output_name] = pd.Series(
-                [None if c <= 0 else float(v / c) for v, c in zip(s, cnt)], dtype=object)
+        def histogram_results(snap_mask, mut_mask):
+            """Per-value difference arrays: true deletion (Histogram.delete
+            decrements, SimpleAggregators.scala:324-326); <=0 entries drop."""
+            svals = col.astype(str).to_numpy()
+            results = [None] * n_q
+            active = snap_mask | mut_mask
+            for v in pd.unique(svals[active]):
+                vm = active & (svals == v)
+                cnt = np.round(deltas(vm & snap_mask, neg_inf, ones)
+                               + deltas(vm & mut_mask, mut_start, sign * ones)).astype(np.int64)
+                for i in np.flatnonzero(cnt > 0):
+                    if results[i] is None:
+                        results[i] = {}
+                    results[i][str(v)] = int(cnt[i])
+            return results
+
+        def kernel_results(snap_mask, mut_mask):
+            """Insert-only replay: before-images ignored (the reference's
+            delete throws for these ops); window + activation filtering,
+            finished by the batch kernels."""
+            rev = pdf["__rev"].to_numpy(dtype=bool)
+            rows = snap_mask | (mut_mask & ~rev)
+            ridx = np.flatnonzero(rows)
+            if not len(ridx):
+                return [None] * n_q
+            enc_r = enc[ridx]
+            start_r = start_all[ridx]
+            if part.window is None:
+                lo = np.searchsorted(enc_r, gid[q_pos] << _SHIFT, side="left")
+            else:
+                hop = part.window.tail_hop_millis()
+                tail_abs = ((q_ts - part.window.millis) // hop) * hop
+                rel = np.maximum(tail_abs - base, 0)
+                lo = np.searchsorted(enc_r, (gid[q_pos] << _SHIFT) + rel, side="left")
+            hi = np.searchsorted(enc_r, q_enc, side="left")  # strict ts < T
+            lo = np.minimum(lo, hi)
+            from zipline_chronon_spark.operators import segments as _seg
+
+            flat, seg_id, cnt0, _ = _seg.expand(lo, hi)
+            keep = start_r[flat] < np.repeat(q_ts, cnt0)
+            fidx, seg_f = flat[keep], seg_id[keep]
+            cnt2 = np.bincount(seg_f, minlength=n_q).astype(np.int64)
+            hi2 = np.cumsum(cnt2)
+            lo2 = hi2 - cnt2
+            # subset BEFORE dtype conversion: the full column holds NaN at
+            # query/other-kind positions, which int64 conversion rejects
+            vals_r = pit_join._as_numpy(col.iloc[ridx].reset_index(drop=True), in_t)
+            return kernels.run_kernel(part, vals_r[fidx], enc_r[fidx], lo2, hi2)
+
+        def run_tier(snap_mask, mut_mask):
+            if part.operation in DELETABLE:
+                return deletable_results(snap_mask, mut_mask)
+            if part.operation == Operation.HISTOGRAM:
+                return histogram_results(snap_mask, mut_mask)
+            return kernel_results(snap_mask, mut_mask)
+
+        if part.bucket is None:
+            results = run_tier(snap_m, mut_m)
+        else:
+            bvals = pdf[part.bucket].to_numpy()
+            bvalid = pd.notna(bvals)
+            results = [None] * n_q
+            for bv in pd.unique(bvals[bvalid & (snap_m | mut_m)]):
+                bm = bvalid & (bvals == bv)
+                sub = run_tier(snap_m & bm, mut_m & bm)
+                for i, r in enumerate(sub):
+                    if r is not None:
+                        if results[i] is None:
+                            results[i] = {}
+                        results[i][str(bv)] = r
+        data[part.output_name] = pd.Series(results, dtype=object)
     return pd.DataFrame(data)
 
 
