@@ -111,19 +111,29 @@ class GroupByBackfill:
         row_id_expr: str,
         passthrough: Optional[dict[str, str]] = None,
         num_partitions: Optional[int] = None,
+        catalog=None,
     ):
+        from zipline_chronon_spark.catalog import ParquetWarehouse
+
         self.spark = spark
         self.gb = gb
         self.output_path = output_path
         self.row_id_expr = row_id_expr
         self.passthrough = passthrough or {}
         self.num_partitions = num_partitions
+        self.catalog = catalog or ParquetWarehouse(spark)
         self.lineage = Lineage(os.path.join(output_path, "_lineage.jsonl"))
         self.hash = spec_hash(gb)
 
     def unfilled(self, start_ds: str, end_ds: str) -> list[str]:
+        """Output-vs-requested partition diff (unfilledRanges,
+        TableUtils.scala:415-499): filled = lineage says success under the
+        current spec hash AND the partition physically exists in the table
+        (robust to manual partition deletion)."""
         want = date_range(start_ds, end_ds)
         have = self.lineage.filled_partitions(self.hash)
+        if have:
+            have &= set(self.catalog.partitions(self.output_path))
         return [ds for ds in want if ds not in have]
 
     @staticmethod
@@ -161,7 +171,20 @@ class GroupByBackfill:
             "ds", F.date_format(F.col("__out_ts").cast("timestamp"), "yyyy-MM-dd")
         ).drop("__out_ts")
 
+    def _archive_if_spec_changed(self) -> Optional[str]:
+        """A changed semantic hash invalidates every existing partition:
+        archive the table (TableUtils autoArchive / JoinUtils.scala:293-329
+        tablesToRecompute) and start a fresh lineage under the new hash."""
+        stale = [r for r in self.lineage.records()
+                 if r["status"] == "success" and r["spec_hash"] != self.hash]
+        if not stale:
+            return None
+        dest = self.catalog.archive(self.output_path, reason="spec_hash_changed")
+        # lineage moved with the table directory; nothing else to reset
+        return dest
+
     def run(self, start_ds: str, end_ds: str, step_days: int = 30) -> dict:
+        archived = self._archive_if_spec_changed()
         todo = self.unfilled(start_ds, end_ds)
         done: list[dict] = []
         for chunk in self._chunks(todo, step_days):
@@ -172,7 +195,7 @@ class GroupByBackfill:
             # partition values read back type-inferred (date) — normalize to str
             rows_per_ds = {
                 str(r["ds"]): int(r["n"])
-                for r in self.spark.read.parquet(self.output_path)
+                for r in self.catalog.read(self.output_path)
                 .where(F.col("ds").cast("string").isin(chunk))
                 .groupBy(F.col("ds").cast("string").alias("ds"))
                 .agg(F.count(F.lit(1)).alias("n")).collect()
@@ -188,14 +211,11 @@ class GroupByBackfill:
             }
             self.lineage.append(rec)
             done.append(rec)
-        return {"computed_chunks": done, "skipped": len(date_range(start_ds, end_ds)) - sum(
-            len(c["partitions"]) for c in done)}
+        return {"computed_chunks": done,
+                "archived": archived,
+                "skipped": len(date_range(start_ds, end_ds)) - sum(
+                    len(c["partitions"]) for c in done)}
 
     def _write_partition(self, df: DataFrame) -> None:
-        # Iceberg swap point: df.writeTo(table).overwritePartitions()
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ds")
-            .parquet(self.output_path)
-        )
+        # all writes go through the catalog seam (Iceberg = constructor swap)
+        self.catalog.insert_partitions(df, self.output_path, partition_col="ds")
