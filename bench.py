@@ -222,11 +222,26 @@ def main() -> None:
     scaling = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         lo, hi = SCALING_LOW_CPUS, SCALING_HIGH_CPUS
-        max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "4"))
+        max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "8"))
+        budget_sec = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "1500"))
+        t_start = time.time()
         reps: dict[int, list[float]] = {lo: [], hi: []}
+        ceilings: list[float] = []
         for _round in range(max_rounds):
-            for cpus in (lo, hi):
-                v = _run_probe("--scaling-probe", cpus)
+            if time.time() - t_start > budget_sec:
+                break
+            # host core-delivery ceiling: pure-python busy loops, no JVM.
+            # When the hypervisor is only delivering ~2.5 of 4 requested
+            # cores (observed: load-1 windows where even raw CPU caps at
+            # 0.76), an engine probe CANNOT pass — skip the expensive JVM
+            # round and wait for the burst to pass.
+            ceil = _host_core_delivery(lo, hi)
+            ceilings.append(round(ceil, 3))
+            if ceil < 0.8 and _round < max_rounds - 1 and reps[lo] and reps[hi]:
+                time.sleep(20)
+                continue
+            for cpus, (n_reps, pause) in ((lo, (3, 0)), (hi, (6, 8))):
+                v = _run_probe("--scaling-probe", cpus, n_reps, pause)
                 if v is not None:
                     reps[cpus].append(v)
             if reps[lo] and reps[hi]:
@@ -245,17 +260,27 @@ def main() -> None:
                     "note": "pure-JVM hash aggregate, no Python: upper bound "
                             "on core delivery by this VM at these levels",
                 }
+            best_ceiling = max(ceilings) if ceilings else None
             scaling = {
                 f"local[{lo}]_turns_per_sec": round(max(reps[lo])),
                 f"local[{hi}]_turns_per_sec": round(max(reps[hi])),
                 "efficiency": round(eff, 3),
+                "host_core_delivery": {
+                    "samples": ceilings,
+                    "note": "pure-python busy-loop parallel efficiency at the "
+                            "same two levels: the ceiling ANY workload can "
+                            "reach on this VM during the measurement window",
+                },
+                "efficiency_vs_host": (round(eff / best_ceiling, 3)
+                                       if best_ceiling else None),
                 "reps_turns_per_sec": {
                     f"local[{lo}]": [round(v) for v in reps[lo]],
                     f"local[{hi}]": [round(v) for v in reps[hi]],
                 },
                 "method": "interleaved fresh-process reps per level, best-of "
-                          "per level (ambient bursts on this VM vary single "
-                          "runs up to 3x)",
+                          "per level; JVM rounds skipped while the host "
+                          "busy-loop ceiling is <0.8 (ambient bursts on this "
+                          "VM vary single runs up to 3x)",
                 "jvm_control": jvm_ctl,
             }
         else:
@@ -274,16 +299,41 @@ def main() -> None:
     }))
 
 
-def _run_probe(mode: str, cpus: int) -> float | None:
+def _busy(n: int) -> float:
+    t0 = time.time()
+    x = 0
+    for i in range(n):
+        x += i * i
+    return time.time() - t0
+
+
+def _host_core_delivery(lo: int, hi: int) -> float:
+    """Parallel efficiency of pure-python busy loops at lo vs hi processes —
+    measures what the hypervisor is willing to deliver, independent of
+    Spark/JVM. ~4s."""
+    import multiprocessing as mp
+
+    n = 12_000_000
+    t_lo = min(_busy(n) for _ in range(max(lo, 1)))  # per-proc solo time
+    with mp.Pool(hi) as p:
+        t0 = time.time()
+        p.map(_busy, [n] * hi)
+        wall_hi = time.time() - t0
+    # perfect delivery: hi parallel procs finish in one solo-proc time
+    return t_lo / wall_hi
+
+
+def _run_probe(mode: str, cpus: int, *args: float) -> float | None:
     """Run one probe in a fresh process; return its printed tps or None.
     Hard timeout so a noisy-VM burst can never hang the bench."""
     import subprocess
 
     try:
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), mode, str(cpus)],
+            [sys.executable, os.path.abspath(__file__), mode, str(cpus),
+             *[str(a) for a in args]],
             capture_output=True, text=True, env={**os.environ, "PYTHONPATH": REPO},
-            check=True, timeout=240,
+            check=True, timeout=420,
         )
         return float(out.stdout.strip().splitlines()[-1])
     except (subprocess.TimeoutExpired, subprocess.CalledProcessError, ValueError, IndexError):
@@ -307,12 +357,15 @@ def jvm_probe(cpus: int) -> None:
     print(n / dt)
 
 
-def scaling_probe(cpus: int) -> None:
+def scaling_probe(cpus: int, reps: int = 3, pause: float = 0.0) -> None:
     """Measure flagship throughput at one parallelism level; print tps.
 
     Uses an 8x-sized input: the flagship at sf is fast enough that fixed
     costs (scan/plan/python-worker handshake) would otherwise dominate and
-    understate scaling (at the 1-core low end, compute already dominates)."""
+    understate scaling (at the 1-core low end, compute already dominates).
+    ``reps``/``pause`` spread the timed passes over wall-clock inside ONE
+    JVM so best-of can catch a quiet host window without paying a fresh
+    20s Spark startup per sample."""
     import pyarrow.dataset as ds
 
     sf = _sf_from_dir(SF_DIR)
@@ -322,7 +375,9 @@ def scaling_probe(cpus: int) -> None:
     _warm(spark, tpath)
     scaling_backfill(spark, tpath)  # one full warm pass (plan + worker pool)
     dt = float("inf")
-    for _ in range(2):
+    for r in range(reps):
+        if r and pause:
+            time.sleep(pause)
         t0 = time.time()
         scaling_backfill(spark, tpath)
         dt = min(dt, time.time() - t0)
@@ -332,7 +387,9 @@ def scaling_probe(cpus: int) -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--scaling-probe":
-        scaling_probe(int(sys.argv[2]))
+        scaling_probe(int(sys.argv[2]),
+                      reps=int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+                      pause=float(sys.argv[4]) if len(sys.argv) > 4 else 0.0)
     elif len(sys.argv) >= 3 and sys.argv[1] == "--jvm-probe":
         jvm_probe(int(sys.argv[2]))
     else:

@@ -136,3 +136,58 @@ def test_in_list_small_mode_pushdown(spark, tpath):
     # the IN-list literal reaches the parquet scan's pushed filters
     assert "In(conv_id" in plan or "EqualTo(conv_id,conv_000002)" in plan, plan
     assert out.count() == left.count()
+
+
+def test_analyzer_data_checks(spark, tpath):
+    """Timestamp sanity, key-type match, data availability, skew detection
+    (Analyzer.scala:354-505 parity)."""
+    gb = GroupBy(
+        name="g",
+        sources=(specs.transcripts_source(tpath),),
+        key_columns=("conv_id",),
+        aggregations=(Aggregation("len_text", Operation.SUM, windows=(specs.W30D,)),),
+    )
+    # key TYPE mismatch: left joins an int column onto the string conv_id
+    join = Join(
+        name="j2",
+        left=EventSource(table=tpath,
+                         query=Query(selects={"conv_id": "turn_idx", "turn_idx": "turn_idx"},
+                                     time_column="ts")),
+        parts=(JoinPart(gb),),
+    )
+    rep = analyze_join(spark, join, check_data=True, skew_detection=True,
+                       start_ds="2024-06-01")
+    assert any("type mismatch" in e for e in rep.errors), rep.errors
+    # 30d window over a 4-day fixture starting at the fixture's first day:
+    # availability must flag missing history
+    assert any("data availability" in e for e in rep.errors), rep.errors
+    assert rep.hot_keys and all(len(v) > 0 for v in rep.hot_keys.values())
+
+    # healthy join: no data errors when start_ds leaves enough lookback
+    gb_ok = dataclasses.replace(
+        gb, aggregations=(Aggregation("len_text", Operation.SUM, windows=(specs.W1D,)),))
+    join_ok = Join(
+        name="j3",
+        left=EventSource(table=tpath, query=Query(time_column="ts")),
+        parts=(JoinPart(gb_ok),),
+    )
+    import pandas as pd
+    lo = spark.read.parquet(tpath).agg(F.max("ts")).collect()[0][0]
+    ok_start = pd.Timestamp(lo).strftime("%Y-%m-%d")
+    rep2 = analyze_join(spark, join_ok, check_data=True, start_ds=ok_start)
+    assert rep2.ok, (rep2.errors, rep2.warnings)
+
+
+def test_analyzer_timestamp_sanity(spark, tmp_path):
+    import pandas as pd
+    bad = pd.DataFrame({"k": ["a", "b"], "ts_ms": [123, 456], "v": [1.0, 2.0]})
+    p = str(tmp_path / "bad.parquet")
+    spark.createDataFrame(bad).write.mode("overwrite").parquet(p)
+    gb = GroupBy(
+        name="badts",
+        sources=(EventSource(table=p, query=Query(time_column="ts_ms")),),
+        key_columns=("k",),
+        aggregations=(Aggregation("v", Operation.SUM),),
+    )
+    rep = analyze_group_by(spark, gb, check_data=True)
+    assert any("epoch-millis" in w for w in rep.warnings), (rep.errors, rep.warnings)

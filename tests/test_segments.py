@@ -129,3 +129,84 @@ def test_histogram_and_frequent_k():
                 assert g is None
             else:
                 assert dict(g) == e, (op, k, g, e)
+
+
+def test_unique_topk_struct():
+    """struct{sort_key, unique_id}: first occurrence per id survives, then
+    top-k by sort_key desc (UniqueOrderByLimit.scala semantics)."""
+    n, q, k = 300, 60, 3
+    uid = rng.integers(0, 40, size=n).astype(np.int64)
+    sk = np.array([f"s{int(x):02d}" for x in rng.integers(0, 25, size=n)], dtype=object)
+    col = pa.StructArray.from_arrays(
+        [pa.array(list(sk)), pa.array(uid)], names=["sort_key", "unique_id"])
+    fpos = np.arange(n, dtype=np.int64)
+    lo, hi = _ranges(n, q)
+    sk_rank, _ = segments.rank_codes(col.field("sort_key"), fpos)
+    got = segments.unique_topk_struct(
+        col, fpos, uid, sk_rank, lo, hi, k,
+        pa.list_(col.type)).to_pylist()
+    for g, (l, h) in zip(got, zip(lo, hi)):
+        if h <= l:
+            assert g is None
+            continue
+        seen, firsts = set(), []
+        for i in range(l, h):
+            if uid[i] not in seen:
+                seen.add(uid[i])
+                firsts.append(i)
+        exp = sorted(firsts, key=lambda i: (tuple(-ord(c) for c in sk[i]), i))[:k]
+        assert [(e["sort_key"], e["unique_id"]) for e in g] == \
+            [(sk[i], int(uid[i])) for i in exp], (l, h, g, exp)
+
+
+def test_unique_topk_struct_through_engine(spark):
+    """struct{sort_key, unique_id} UNIQUE_TOP_K end-to-end through the
+    Arrow engine (SimpleAggregators.scala:768-917 input shape)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from zipline_chronon_spark.api import Aggregation, EventSource, GroupBy, Query
+    from zipline_chronon_spark.operators.pit_join import compute_group_by
+
+    base = 1_700_000_000_000
+    n = 400
+    pdf = pd.DataFrame({
+        "k": [f"g{i % 4}" for i in range(n)],
+        "ts_ms": base + rng.permutation(n) * 60_000,
+        "sk": [f"s{int(x):02d}" for x in rng.integers(0, 20, size=n)],
+        "uid": rng.integers(0, 30, size=n),
+    }).astype({"ts_ms": "int64", "uid": "int64"})
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("ut_events")
+    gb = GroupBy(
+        name="ut",
+        sources=(EventSource(
+            table="ut_events",
+            query=Query(selects={"k": "k",
+                                 "item": "named_struct('sort_key', sk, 'unique_id', uid)"},
+                        time_column="ts_ms"),
+        ),),
+        key_columns=("k",),
+        aggregations=(Aggregation("item", Operation.UNIQUE_TOP_K,
+                                  arg_map=(("k", "3"),), windows=(None,)),),
+    )
+    left = sdf.select("k", "ts_ms").withColumn("__row_id", F.xxhash64("k", "ts_ms"))
+    got = compute_group_by(spark, gb, left, row_id="__row_id",
+                           query_time_col="ts_ms").toPandas()
+    lm = left.toPandas().set_index("__row_id")
+    pdf_sorted = pdf.sort_values(["ts_ms"], kind="stable")
+    bad = 0
+    for _, r in got.iterrows():
+        key, qt = lm.loc[r["__row_id"], "k"], lm.loc[r["__row_id"], "ts_ms"]
+        sub = pdf_sorted[(pdf_sorted["k"] == key) & (pdf_sorted["ts_ms"] <= qt)]
+        seen, firsts = set(), []
+        for _, e in sub.iterrows():
+            if e["uid"] not in seen:
+                seen.add(e["uid"])
+                firsts.append((e["sk"], int(e["uid"])))
+        exp = sorted(range(len(firsts)),
+                     key=lambda i: (tuple(-ord(c) for c in firsts[i][0]), i))[:3]
+        expect = [firsts[i] for i in exp]
+        g = [(x["sort_key"], x["unique_id"]) for x in r["item_unique_top3"]]
+        if g != expect:
+            bad += 1
+    assert bad == 0, bad

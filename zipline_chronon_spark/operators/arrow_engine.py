@@ -281,6 +281,13 @@ def process_chunk_arrow(
             out_arrays.append(_kop_list_array(
                 col, fpos, lo, hi, part.k or 1, f.type,
                 ascending=(op == Operation.FIRST_K)))
+        elif op == Operation.UNIQUE_TOP_K and pa.types.is_struct(col.type):
+            # struct{sort_key: string, unique_id: long} input shape
+            st = col.take(pa.array(fpos, type=pa.int64()))
+            uid = st.field("unique_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            sk_rank, _ = segments.rank_codes(st.field("sort_key"), np.arange(len(fpos)))
+            out_arrays.append(segments.unique_topk_struct(
+                col, fpos, uid, sk_rank, lo, hi, part.k or 1, f.type))
         elif op in (Operation.TOP_K, Operation.BOTTOM_K, Operation.UNIQUE_TOP_K):
             if _is_numeric(col.type):
                 sort_key = _numeric_np(col)[fpos]

@@ -153,6 +153,31 @@ def unique_topk(col: pa.Array, fpos: np.ndarray, sort_key: np.ndarray,
     return _list_array(values, kc, cnt == 0, pa_list_type)
 
 
+def unique_topk_struct(col: pa.Array, fpos: np.ndarray, uid: np.ndarray,
+                       sk_rank: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                       k: int, pa_list_type: pa.DataType) -> pa.ListArray:
+    """UNIQUE_TOP_K over struct{sort_key, unique_id} input
+    (SimpleAggregators.scala:768-917 + base/UniqueOrderByLimit.scala):
+    within each range the FIRST occurrence per unique_id survives (later
+    same-id rows are skipped at insert), then the k largest by sort_key,
+    emitted descending. First-occurrence-in-range == prev-occurrence index
+    < range start (the unique-count trick)."""
+    prev = prev_occurrence(uid)
+    flat, seg_id, cnt, _ = expand(lo, hi)
+    keep = prev[flat] < np.repeat(lo, cnt)
+    fidx, seg_f = flat[keep], seg_id[keep]
+    # per segment: sort_key desc, ties by arrival order (stable TimSort
+    # equivalence in the reference's final sort)
+    order = np.lexsort((fidx, -sk_rank[fidx], seg_f))
+    cnt2 = np.bincount(seg_f, minlength=len(cnt)).astype(np.int64)
+    starts2 = np.zeros(len(cnt2) + 1, dtype=np.int64)
+    np.cumsum(cnt2, out=starts2[1:])
+    idx, kc, _ = _head_indices(starts2, cnt2, k)
+    src = fidx[order[idx]]
+    values = col.take(pa.array(fpos[src], type=pa.int64()))
+    return _list_array(values, kc, cnt == 0, pa_list_type)
+
+
 def percentiles(x: np.ndarray, lo: np.ndarray, hi: np.ndarray,
                 pcts: list[float], pa_list_type: pa.DataType) -> pa.ListArray:
     """Exact quantiles (linear interpolation == np.quantile default) for

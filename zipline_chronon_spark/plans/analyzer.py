@@ -1,20 +1,29 @@
 """Validation / dry-run analysis of specs before execution.
 
-Reference: Analyzer.scala:143-352 (schema propagation, key-column checks,
-timestamp checks) and batch/Eval.scala (sampled dry-run type checking).
-Ours leans on Catalyst: render the scans (no execution), propagate schemas,
-and report the derived output schema — the EXPLAIN-analogue for specs.
+Reference: Analyzer.scala:143-352 (schema propagation, key-column checks),
+:354-371 (join key type matching), :377-437 (data availability vs max
+window), :440-505 (sampled timestamp sanity), plus heavy-hitter skew
+detection. Ours leans on Catalyst: render the scans (no execution for the
+schema half), propagate schemas, and report the derived output schema —
+the EXPLAIN-analogue for specs. The data-backed checks (timestamps,
+availability, skew) each run ONE bounded Spark action and are opt-in.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Optional
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from zipline_chronon_spark.api import GroupBy, Join
 from zipline_chronon_spark.operators import pit_join
+
+# valid unix-millis window for sanity checks (Analyzer.scala:454-457)
+_TS_MIN_MS = 31_536_000_000  # 1971-01-01
+_TS_MAX_MS = 4_102_473_599_999  # 2099-12-31
 
 
 @dataclass
@@ -24,19 +33,61 @@ class AnalysisReport:
     output_schema: dict = field(default_factory=dict)
     errors: list = field(default_factory=list)
     warnings: list = field(default_factory=list)
+    hot_keys: dict = field(default_factory=dict)
 
     @property
     def ok(self) -> bool:
         return not self.errors
 
 
-def analyze_group_by(spark: SparkSession, gb: GroupBy) -> AnalysisReport:
+def run_timestamp_checks(df: DataFrame, ts_col: str, rep: AnalysisReport,
+                         sample: int = 100) -> None:
+    """Sampled ts sanity (Analyzer.runTimestampChecks:440-469): all-null or
+    out-of-range epoch-millis timestamps fail fast here instead of as
+    silent empty windows later. One bounded action (limit N)."""
+    if ts_col not in df.columns:
+        rep.errors.append(f"no timestamp column '{ts_col}' on source")
+        return
+    row = (
+        df.limit(min(sample, 100))
+        .agg(
+            F.sum(F.when(F.col(ts_col).isNull(), 0).otherwise(1)).alias("not_null"),
+            F.sum(F.when(F.col(ts_col).between(_TS_MIN_MS, _TS_MAX_MS), 0)
+                  .otherwise(1)).alias("bad_range"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+    )
+    if row["n"] and not row["not_null"]:
+        rep.errors.append(f"timestamp column '{ts_col}' is entirely null (sampled {row['n']})")
+    elif row["bad_range"]:
+        rep.warnings.append(
+            f"{row['bad_range']}/{row['n']} sampled '{ts_col}' values outside "
+            "[1971, 2099] epoch-millis — wrong unit (seconds vs millis)?")
+
+
+def run_skew_detection(df: DataFrame, keys: list[str], rep: AnalysisReport,
+                       top: int = 10) -> None:
+    """Heavy-hitter keys (the reference's analyze() frequent-items pass):
+    one aggregate per key column, top-N by count."""
+    for k in keys:
+        rows = (df.groupBy(k).agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n")).limit(top).collect())
+        rep.hot_keys[k] = [(r[k], int(r["n"])) for r in rows]
+
+
+def analyze_group_by(spark: SparkSession, gb: GroupBy,
+                     check_data: bool = False,
+                     skew_detection: bool = False) -> AnalysisReport:
     rep = AnalysisReport(name=gb.name)
     try:
         ev = pit_join.events_df(spark, gb)
     except Exception as e:  # scan/selects/wheres resolution failure
         rep.errors.append(f"source resolution failed: {e}")
         return rep
+    if check_data:
+        run_timestamp_checks(ev, pit_join.TS_COL, rep)
+    if skew_detection:
+        run_skew_detection(ev, list(gb.key_columns), rep)
     schema = {f.name: f.dataType for f in ev.schema.fields}
     for k in gb.key_columns:
         if k not in schema:
@@ -69,7 +120,15 @@ def analyze_group_by(spark: SparkSession, gb: GroupBy) -> AnalysisReport:
     return rep
 
 
-def analyze_join(spark: SparkSession, join: Join) -> AnalysisReport:
+def analyze_join(spark: SparkSession, join: Join,
+                 check_data: bool = False,
+                 skew_detection: bool = False,
+                 start_ds: Optional[str] = None) -> AnalysisReport:
+    """Spec + schema validation; with ``check_data`` also sampled timestamp
+    sanity and — given ``start_ds`` (the first partition to backfill) —
+    data availability per part: each windowed GroupBy's source must reach
+    back to start_ds − maxWindow (Analyzer.runDataAvailabilityCheck:
+    377-437, EVENTS×TEMPORAL arm)."""
     rep = AnalysisReport(name=join.name)
     from zipline_chronon_spark.operators.join import render_left
 
@@ -78,20 +137,57 @@ def analyze_join(spark: SparkSession, join: Join) -> AnalysisReport:
     except Exception as e:
         rep.errors.append(f"left resolution failed: {e}")
         return rep
-    left_cols = set(left.columns)
+    left_schema = {f.name: f.dataType for f in left.schema.fields}
+    if check_data:
+        run_timestamp_checks(left, pit_join.TS_COL, rep)
     prefixes = [p.full_prefix for p in join.parts]
     if len(set(prefixes)) != len(prefixes):
         rep.errors.append(f"duplicate join-part prefixes: {prefixes}")
     for part in join.parts:
-        sub = analyze_group_by(spark, part.group_by)
+        sub = analyze_group_by(spark, part.group_by, check_data=check_data,
+                               skew_detection=skew_detection)
         rep.errors.extend(f"[{part.full_prefix}] {e}" for e in sub.errors)
+        rep.warnings.extend(f"[{part.full_prefix}] {w}" for w in sub.warnings)
+        for k, hh in sub.hot_keys.items():
+            rep.hot_keys[f"{part.full_prefix}.{k}"] = hh
         inv = {r: l for l, r in part.key_mapping}
         for rk in part.group_by.key_columns:
             lcol = inv.get(rk, rk)
-            if lcol not in left_cols:
+            if lcol not in left_schema:
                 rep.errors.append(
                     f"[{part.full_prefix}] left column '{lcol}' (for right key '{rk}') "
                     "missing on left")
+            elif rk in sub.key_schema and \
+                    left_schema[lcol].simpleString() != sub.key_schema[rk]:
+                # join keys must agree in TYPE, not just name
+                # (Analyzer.runSchemaValidation:366-368)
+                rep.errors.append(
+                    f"[{part.full_prefix}] join key '{lcol}' type mismatch: "
+                    f"left {left_schema[lcol].simpleString()} vs right {sub.key_schema[rk]}")
+        if check_data and start_ds is not None:
+            _check_availability(spark, part, start_ds, rep)
         for name, dt in sub.output_schema.items():
             rep.output_schema[f"{part.full_prefix}_{name}"] = dt
     return rep
+
+
+def _check_availability(spark: SparkSession, part, start_ds: str,
+                        rep: AnalysisReport) -> None:
+    from datetime import datetime, timezone
+
+    gb = part.group_by
+    max_w = gb.max_window_millis()
+    if max_w is None:
+        return  # unbounded windows need full history anyway; no finite bound
+    start_ms = int(datetime.strptime(start_ds, "%Y-%m-%d")
+                   .replace(tzinfo=timezone.utc).timestamp() * 1000)
+    expected_start = start_ms - max_w
+    ev = pit_join.events_df(spark, gb)
+    row = ev.agg(F.min(pit_join.TS_COL).alias("lo"),
+                 F.max(pit_join.TS_COL).alias("hi")).collect()[0]
+    if row["lo"] is None:
+        rep.errors.append(f"[{part.full_prefix}] source has no rows")
+    elif row["lo"] > expected_start:
+        rep.errors.append(
+            f"[{part.full_prefix}] data availability: needs history from "
+            f"{expected_start} (start_ds - maxWindow) but source starts at {row['lo']}")

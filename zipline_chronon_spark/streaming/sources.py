@@ -1,0 +1,79 @@
+"""Streaming source builders.
+
+KafkaStreamBuilder parity (reference streaming/KafkaStreamBuilder.scala:
+topic/broker wiring, startingOffsets, JSON event decoding into the
+GroupBy's input schema). The transformation pipeline — bytes -> JSON ->
+typed columns -> event-time watermark — is format-agnostic and fully
+tested through the file source (`format_override`); the kafka format
+itself needs the spark-sql-kafka package, which this sandbox does not
+ship, so `build()` raises a clear error when the package is absent
+instead of failing deep inside Spark.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class KafkaSource:
+    """Declarative Kafka stream spec (KafkaStreamBuilder.scala:21-77)."""
+
+    topic: str
+    bootstrap_servers: str
+    schema: T.StructType  # decoded event schema, must include the ts column
+    ts_col: str = "ts"
+    starting_offsets: str = "latest"
+    lateness: str = "10 minutes"
+    options: tuple[tuple[str, str], ...] = ()
+
+
+def decode_json_events(raw: DataFrame, schema: T.StructType, ts_col: str,
+                       lateness: str) -> DataFrame:
+    """bytes value -> JSON -> typed columns + event-time watermark. The
+    shared decode path for kafka and for file-source tests."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("e"))
+    cols = [F.col(f"e.{f.name}").alias(f.name) for f in schema.fields]
+    out = parsed.select(*cols)
+    ts_field = schema[ts_col].dataType
+    event_time = (F.col(ts_col) if isinstance(ts_field, T.TimestampType)
+                  else F.timestamp_millis(F.col(ts_col).cast("long")))
+    return out.withColumn("__event_time", event_time).withWatermark(
+        "__event_time", lateness)
+
+
+def build_kafka_stream(spark: SparkSession, src: KafkaSource,
+                       format_override: Optional[tuple[str, dict]] = None) -> DataFrame:
+    """readStream from Kafka (or an override source carrying a `value`
+    string/binary column, for package-less tests) decoded to typed events."""
+    if format_override is not None:
+        fmt, opts = format_override
+        reader = spark.readStream.format(fmt)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        if fmt in ("parquet", "json", "csv", "text"):
+            reader = reader.schema(T.StructType([T.StructField("value", T.StringType())]))
+        raw = reader.load()
+    else:
+        try:
+            raw = (
+                spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", src.bootstrap_servers)
+                .option("subscribe", src.topic)
+                .option("startingOffsets", src.starting_offsets)
+                .options(**dict(src.options))
+                .load()
+            )
+        except Exception as exc:
+            raise RuntimeError(
+                "kafka source needs the spark-sql-kafka package on the "
+                "classpath (--packages org.apache.spark:spark-sql-kafka-0-10_2.13); "
+                "pass format_override to test the decode pipeline without it"
+            ) from exc
+    return decode_json_events(raw, src.schema, src.ts_col, src.lateness)
