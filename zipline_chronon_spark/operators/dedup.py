@@ -75,6 +75,9 @@ def ngram_jaccard_pairs(
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
                .where(F.col("df") > n_docs * df_cap).select("shingle"))
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # sh feeds sizes + both self-join sides: persist so the shingle explode
+    # is computed once, not three times (at scale: checkpoint instead)
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -162,6 +165,11 @@ def minhash_lsh_pairs(
             for bi in range(num_hashes // band_size)
         ])).alias("band_key"),
     )
+    # NB: tempting to persist bands here (the signature subplan appears 4x
+    # in the physical plan) — measured SLOWER on this Spark version: the
+    # InMemoryRelation boundary blocks broadcast/codegen downstream and the
+    # recomputation is cheaper than the cache penalty. At real scale,
+    # CHECKPOINT the signature table instead (it is also a useful artifact).
     if max_bucket is not None:
         hot = (bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bn"))
                .where(F.col("bn") > max_bucket).select("band_key"))
