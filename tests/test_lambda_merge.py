@@ -43,6 +43,8 @@ def _gb():
             Aggregation("cat", Operation.APPROX_UNIQUE_COUNT, windows=(None,)),
             Aggregation("v", Operation.APPROX_PERCENTILE,
                         arg_map=(("percentiles", "[0.25, 0.5, 0.9]"),), windows=(None,)),
+            Aggregation("cat", Operation.APPROX_FREQUENT_K,
+                        arg_map=(("k", "3"),), windows=(None,)),
         ),
     )
 
@@ -76,6 +78,9 @@ def test_lambda_merge_equals_batch(spark, events):
         exp["cat_approx_unique_count"].tolist()
     for g, e in zip(got["v_approx_percentile"], exp["v_approx_percentile"]):
         np.testing.assert_allclose(list(g), list(e), rtol=0, atol=1e-12)
+    # FreqSketch exact regime (distinct <= capacity): maps equal exactly
+    for g, e in zip(got["cat_approx_frequent_k"], exp["cat_approx_frequent_k"]):
+        assert dict(g) == dict(e)
 
 
 def test_lambda_merge_order_invariance(spark, events):

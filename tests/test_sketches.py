@@ -98,3 +98,48 @@ def test_kll_merge_error_bound():
     est = m.quantiles([0.5])[0]
     # pooled distribution: mixture of N(0,1) and N(3,1) -> median = 1.5
     assert abs(est - 1.5) < 0.15, est
+
+
+def test_freq_sketch_exact_regime_and_policies():
+    from zipline_chronon_spark.operators.sketches import FreqSketch
+
+    vals = ["a"] * 50 + ["b"] * 30 + ["c"] * 5 + ["d"] * 2
+    sk = FreqSketch(capacity=16).update(vals)
+    assert sk.error == 0  # exact: distinct <= capacity
+    assert sk.top_k(2) == {"a": 50, "b": 30}
+    assert sk.top_k(2, no_false_positives=True) == {"a": 50, "b": 30}
+    rt = FreqSketch.from_bytes(sk.to_bytes())
+    assert rt.top_k(3) == sk.top_k(3)
+
+
+def test_freq_sketch_eviction_bounds():
+    from zipline_chronon_spark.operators.sketches import FreqSketch
+
+    rng2 = np.random.default_rng(9)
+    # heavy items + a long tail that forces evictions
+    stream = (["hot1"] * 5000 + ["hot2"] * 3000
+              + [f"t{int(x)}" for x in rng2.integers(0, 50_000, size=40_000)])
+    rng2.shuffle(stream)
+    sk = FreqSketch(capacity=256)
+    for chunk in np.array_split(np.array(stream, dtype=object), 20):
+        sk.update(chunk)
+    assert sk.error > 0
+    # NO_FALSE_NEGATIVES: the true heavies are always present
+    top = sk.top_k(10)
+    assert "hot1" in top and "hot2" in top
+    # upper bound >= true count >= lower bound
+    assert top["hot1"] >= 5000 >= sk.counts["hot1"]
+    # NO_FALSE_POSITIVES: everything reported truly exceeds the error floor
+    for key, v in sk.top_k(10, no_false_positives=True).items():
+        assert sk.counts[key] > sk.error
+
+
+def test_freq_sketch_merge_matches_single_stream():
+    from zipline_chronon_spark.operators.sketches import FreqSketch
+
+    vals = [f"k{i % 40}" for i in range(4000)]
+    one = FreqSketch(capacity=64).update(vals)
+    a = FreqSketch(capacity=64).update(vals[:1500])
+    b = FreqSketch(capacity=64).update(vals[1500:])
+    m = FreqSketch.from_bytes(a.to_bytes()).merge(b)
+    assert m.top_k(5) == one.top_k(5)  # exact regime: merge == replay

@@ -26,6 +26,7 @@ processes), pandas' fixed-key siphash for object/string columns.
 
 from __future__ import annotations
 
+import json
 import struct
 
 import numpy as np
@@ -150,6 +151,78 @@ class HllSketch:
         else:
             sk.sparse = None
             sk.regs = np.frombuffer(b[8:], dtype=np.uint8, count=n).copy()
+        return sk
+
+
+class FreqSketch:
+    """Misra-Gries frequent-items sketch (the reference's DataSketches
+    ItemsSketch role, SimpleAggregators.scala:400-491): at most ``capacity``
+    counters; evictions decrement survivors, so every stored count is a
+    LOWER bound and (count + error) an UPPER bound, where ``error`` is the
+    total decremented weight. EXACT while distinct items <= capacity.
+
+    Finalize policies (ColumnAggregator.scala:266-278):
+     - NO_FALSE_NEGATIVES (APPROX_FREQUENT_K): rank by upper bound — a
+       truly-frequent item is never dropped, infrequent ones may appear.
+     - NO_FALSE_POSITIVES (APPROX_HEAVY_HITTERS_K): keep only items whose
+       LOWER bound beats the best upper bound of anything evicted — never
+       report a non-heavy item.
+    """
+
+    MAGIC = b"FQ"
+
+    def __init__(self, capacity: int = 1024):
+        self.capacity = capacity
+        self.counts: dict[str, int] = {}
+        self.error = 0  # max weight an absent/evicted item could have had
+
+    def update(self, values) -> "FreqSketch":
+        import collections
+
+        c = collections.Counter(str(v) for v in values)
+        for k, w in c.items():
+            self.counts[k] = self.counts.get(k, 0) + int(w)
+        self._shrink()
+        return self
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.capacity:
+            return
+        # decrement-by-median-of-excess: subtract the (capacity+1)-th
+        # largest count from everyone, drop the non-positive
+        vals = sorted(self.counts.values(), reverse=True)
+        dec = vals[self.capacity]
+        self.error += dec
+        self.counts = {k: v - dec for k, v in self.counts.items() if v - dec > 0}
+
+    def merge(self, other: "FreqSketch") -> "FreqSketch":
+        for k, v in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + v
+        self.error += other.error
+        self._shrink()
+        return self
+
+    def top_k(self, k: int, no_false_positives: bool = False) -> dict[str, int]:
+        if no_false_positives:
+            items = [(key, v) for key, v in self.counts.items() if v > self.error]
+        else:
+            items = [(key, v + self.error) for key, v in self.counts.items()]
+        items.sort(key=lambda kv: (-kv[1], kv[0]))
+        return dict(items[:k])
+
+    def to_bytes(self) -> bytes:
+        body = json.dumps({"c": self.counts, "e": self.error},
+                          sort_keys=True).encode()
+        return self.MAGIC + struct.pack("<II", self.capacity, len(body)) + body
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "FreqSketch":
+        assert b[:2] == cls.MAGIC
+        cap, ln = struct.unpack("<II", b[2:10])
+        sk = cls(capacity=cap)
+        d = json.loads(b[10:10 + ln].decode())
+        sk.counts = {k: int(v) for k, v in d["c"].items()}
+        sk.error = int(d["e"])
         return sk
 
 

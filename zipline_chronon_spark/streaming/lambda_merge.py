@@ -31,9 +31,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from zipline_chronon_spark.api import GroupBy, Operation
-from zipline_chronon_spark.operators.sketches import HllSketch, KllSketch
+from zipline_chronon_spark.operators.sketches import FreqSketch, HllSketch, KllSketch
 
-_SKETCH_OPS = {Operation.APPROX_UNIQUE_COUNT, Operation.APPROX_PERCENTILE}
+_SKETCH_OPS = {Operation.APPROX_UNIQUE_COUNT, Operation.APPROX_PERCENTILE,
+               Operation.APPROX_FREQUENT_K, Operation.APPROX_HEAVY_HITTERS_K}
 
 
 def _sketch_parts(gb: GroupBy) -> list:
@@ -47,15 +48,22 @@ def _ir_col(part) -> str:
     return f"{part.output_name}_ir"
 
 
+_FREQ_OPS = {Operation.APPROX_FREQUENT_K, Operation.APPROX_HEAVY_HITTERS_K}
+
+
 def _new_sketch(part):
     if part.operation == Operation.APPROX_UNIQUE_COUNT:
         return HllSketch()
+    if part.operation in _FREQ_OPS:
+        return FreqSketch()
     return KllSketch()
 
 
 def _from_bytes(part, b: bytes):
     if part.operation == Operation.APPROX_UNIQUE_COUNT:
         return HllSketch.from_bytes(b)
+    if part.operation in _FREQ_OPS:
+        return FreqSketch.from_bytes(b)
     return KllSketch.from_bytes(b)
 
 
@@ -121,6 +129,9 @@ def finalize(states: DataFrame, gb: GroupBy) -> DataFrame:
     for pt in parts:
         if pt.operation == Operation.APPROX_UNIQUE_COUNT:
             out_schema = out_schema.add(pt.output_name, T.LongType())
+        elif pt.operation in _FREQ_OPS:
+            out_schema = out_schema.add(
+                pt.output_name, T.MapType(T.StringType(), T.LongType()))
         else:
             out_schema = out_schema.add(pt.output_name, T.ArrayType(T.DoubleType()))
 
@@ -137,6 +148,12 @@ def finalize(states: DataFrame, gb: GroupBy) -> DataFrame:
             if pt.operation == Operation.APPROX_UNIQUE_COUNT:
                 out[pt.output_name] = [
                     int(round(HllSketch.from_bytes(bytes(b)).estimate()))
+                    for b in pdf[col]]
+            elif pt.operation in _FREQ_OPS:
+                nfp = pt.operation == Operation.APPROX_HEAVY_HITTERS_K
+                out[pt.output_name] = [
+                    FreqSketch.from_bytes(bytes(b)).top_k(pt.k or 1,
+                                                          no_false_positives=nfp)
                     for b in pdf[col]]
             else:
                 out[pt.output_name] = [
