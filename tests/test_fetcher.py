@@ -1,0 +1,89 @@
+"""Offline-join == online-fetch parity (the reference's strongest e2e
+oracle, FetcherTestUtil.scala:245-740): batch upload at T0 + stream tiles
+(T0, T1] fetched at T1 must equal compute_key_states at T1."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from zipline_chronon_spark.api import Aggregation, EventSource, GroupBy, Operation, Query
+from zipline_chronon_spark.online.fetcher import Fetcher, upload_batch_state, upload_tiles
+from zipline_chronon_spark.online.kv import InMemoryKv
+from zipline_chronon_spark.operators.pit_join import compute_key_states
+
+BASE = 1_700_000_000_000
+HOP = 300_000
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rng = np.random.default_rng(8)
+    n = 3000
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 6, size=n).astype(str),
+        "ts_ms": BASE + rng.integers(0, 2 * 86_400_000, size=n),
+        "v": rng.normal(10, 3, size=n).round(3),
+        "cat": [f"c{int(x)}" for x in rng.integers(0, 25, size=n)],
+    }).astype({"ts_ms": "int64"})
+    spark.createDataFrame(pdf).createOrReplaceTempView("fx_events")
+    return pdf
+
+
+def _gb():
+    return GroupBy(
+        name="fx",
+        sources=(EventSource(table="fx_events", query=Query(time_column="ts_ms")),),
+        key_columns=("k",),
+        aggregations=(
+            Aggregation("v", Operation.SUM, windows=(None,)),
+            Aggregation("v", Operation.COUNT, windows=(None,)),
+            Aggregation("v", Operation.AVERAGE, windows=(None,)),
+            Aggregation("v", Operation.MIN, windows=(None,)),
+            Aggregation("v", Operation.MAX, windows=(None,)),
+            Aggregation("v", Operation.LAST, windows=(None,)),
+            Aggregation("v", Operation.FIRST, windows=(None,)),
+            Aggregation("cat", Operation.APPROX_UNIQUE_COUNT, windows=(None,)),
+            Aggregation("cat", Operation.APPROX_FREQUENT_K,
+                        arg_map=(("k", "2"),), windows=(None,)),
+            Aggregation("v", Operation.APPROX_PERCENTILE,
+                        arg_map=(("percentiles", "[0.5, 0.9]"),), windows=(None,)),
+        ),
+    )
+
+
+def test_fetch_equals_offline(spark, events):
+    gb = _gb()
+    t0 = ((BASE + 86_400_000) // HOP) * HOP
+    t1 = t0 + 10 * 3_600_000
+
+    kv = InMemoryKv()
+    n_keys = upload_batch_state(kv, spark, gb, t0)
+    assert n_keys == 6
+    n_tiles = upload_tiles(kv, spark, gb, t0, t1, hop_ms=HOP)
+    assert n_tiles > 0
+
+    fetcher = Fetcher(kv, gb)
+    offline = (compute_key_states(spark, gb, at_ts_ms=t1)
+               .toPandas().set_index("k"))
+
+    for key in sorted(offline.index):
+        got = fetcher.fetch((key,))
+        row = offline.loc[key]
+        for col in ["v_sum", "v_count", "v_min", "v_max", "v_last", "v_first",
+                    "v_average"]:
+            assert abs(float(got[col]) - float(row[col])) < 1e-9, (key, col)
+        # sparse/exact-regime sketches: exact equality
+        assert got["cat_approx_unique_count"] == row["cat_approx_unique_count"]
+        assert dict(got["cat_approx_frequent_k"]) == dict(row["cat_approx_frequent_k"])
+        np.testing.assert_allclose(got["v_approx_percentile"],
+                                   list(row["v_approx_percentile"]), atol=1e-12)
+
+
+def test_fetch_unseen_key(spark, events):
+    gb = _gb()
+    kv = InMemoryKv()
+    upload_batch_state(kv, spark, gb, BASE + 86_400_000)
+    got = Fetcher(kv, gb).fetch(("nope",))
+    assert all(v is None for v in got.values())
