@@ -737,11 +737,37 @@ def o_dedup_minhash_lsh() -> str:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64 is Spark-specific: rows-only check)."""
+    """SimHash near-dup pairs (60-bit md5 token hash: DuckDB-replayable)."""
     from zipline_chronon_spark.operators.dedup import simhash_near_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 2000")
     return simhash_near_pairs(docs, max_hamming=12)
+
+
+def o_dedup_simhash() -> str:
+    h60 = "CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)"
+    csums = ", ".join(f"sum((hv >> {j}) & 1) AS c{j}" for j in range(60))
+    simbits = " + ".join(f"(CASE WHEN 2 * c{j} > n THEN {1 << j} ELSE 0 END)"
+                         for j in range(60))
+    bands = ", ".join(f"(simhash >> {15 * j}) & 32767" for j in range(4))
+    return f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents WHERE doc_id < 2000
+    ),
+    h AS (SELECT doc_id, {h60} AS hv FROM t),
+    v AS (SELECT doc_id, count(*) AS n, {csums} FROM h GROUP BY doc_id),
+    s AS (SELECT doc_id, CAST({simbits} AS BIGINT) AS simhash FROM v),
+    bands AS (SELECT doc_id, simhash,
+                     unnest([{bands}]) AS band,
+                     unnest([0, 1, 2, 3]) AS band_id
+              FROM s)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+    """
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,10 +986,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
         "dedup_minhash_sig": o_dedup_minhash_sig(),
         "dedup_minhash_lsh": o_dedup_minhash_lsh(),
+        "dedup_simhash": o_dedup_simhash(),
         "text_features": o_text_features(),
         "fingerprint": o_fingerprint(),
         "ann_cosine_topk": o_ann_cosine_topk(),
         "snapshot_daily": o_snapshot_daily(),
         "staging_pricing": o_staging_pricing(),
-        # dedup_simhash / ann_lsh_topk: hash/seed-specific -> rows-only check
+        # ann_lsh_topk: hyperplane seeds are numpy-side -> rows-only check
     }

@@ -185,25 +185,28 @@ def minhash_lsh_pairs(
 
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over whitespace tokens: bit j of the hash is the sign
-    of sum over tokens of (bit j of xxhash64(token)). Map-only.
+    of sum over tokens of (bit j of the token hash). Map-only. The token
+    hash is the portable 60-bit md5 prefix (_h60) so the DuckDB oracle can
+    replay simhashes bit-for-bit (xxhash64 is Spark-only); 60 bits, four
+    15-bit LSH bands.
 
     Near-dup = small hamming distance between simhash values (pytest covers
     the property; pairing is a bit_count(a ^ b) <= t self-join)."""
-    # bit masks must be literals (shift-by-column is unsupported); bit 63 is
-    # the sign bit in two's complement
-    masks = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
-    # explode tokens -> one xxhash64 per token -> SIMD-in-a-register vote
-    # counting: 16 agg sums, each packing FOUR 16-bit ones-counters (bit j's
+    # bit masks must be literals (shift-by-column is unsupported)
+    masks = [1 << j for j in range(60)]
+    # explode tokens -> one md5-60 per token -> SIMD-in-a-register vote
+    # counting: 15 agg sums, each packing FOUR 16-bit ones-counters (bit j's
     # set-count in lanes of 16 bits), plus count(h) for the votes threshold
-    # (ones > n/2). 17 codegen'd agg buffers instead of 64 (64 separate sums
+    # (ones > n/2). 16 codegen'd agg buffers instead of 60 (60 separate sums
     # blow the codegen method limit and fall back to interpreted updates).
     toks = df.select(
         F.col(id_col),
         F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok"),
-    ).select(id_col, F.when(F.col("__tok").isNotNull(), F.xxhash64("__tok")).alias("__h"))
+    ).select(id_col,
+             F.when(F.col("__tok").isNotNull(), _h60(F.col("__tok"))).alias("__h"))
     h = F.col("__h")
     packed = []
-    for g in range(16):  # group g covers bits 4g..4g+3, one 16-bit lane each
+    for g in range(15):  # group g covers bits 4g..4g+3, one 16-bit lane each
         term = F.lit(0).cast("long")
         for lane in range(4):
             j = 4 * g + lane
@@ -213,7 +216,7 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     voted = toks.groupBy(id_col).agg(F.count("__h").alias("__n"), *packed)
     sim = F.lit(0).cast("long")
     n2 = F.col("__n")  # bit set iff ones-count*2 > n  <=>  votes > 0
-    for g in range(16):
+    for g in range(15):
         for lane in range(4):
             j = 4 * g + lane
             ones = F.shiftright(F.col(f"__p{g}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
@@ -225,16 +228,17 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        max_hamming: int = 8) -> DataFrame:
     """All pairs with hamming(simhash_a, simhash_b) <= max_hamming, found by
-    multi-band LSH over the four 16-bit bands of the simhash: a pair with
-    hamming <= 3 is GUARANTEED to agree on at least one band (pigeonhole:
-    4 bands, <=3 differing bits); larger distances are found with high
-    probability. Candidates are deduped across bands, then exact-hamming
-    filtered — no all-pairs join, recall not tied to one arbitrary band."""
+    multi-band LSH over the four 15-bit bands of the 60-bit simhash: a pair
+    with hamming <= 3 is GUARANTEED to agree on at least one band
+    (pigeonhole: 4 bands, <=3 differing bits); larger distances are found
+    with high probability. Candidates are deduped across bands, then
+    exact-hamming filtered — no all-pairs join, recall not tied to one
+    arbitrary band."""
     s = simhash64(_fan_out(df, id_col), id_col, text_col)
     bands = s.select(
         id_col, "simhash",
         F.posexplode(F.array(*[
-            F.shiftright("simhash", 16 * j).bitwiseAND(F.lit(0xFFFF)) for j in range(4)
+            F.shiftright("simhash", 15 * j).bitwiseAND(F.lit(0x7FFF)) for j in range(4)
         ])).alias("band_id", "band"),
     )
     a, b = bands.alias("a"), bands.alias("b")
