@@ -8,8 +8,10 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from zipline_chronon_spark.api import Aggregation, EventSource, GroupBy, Operation, Query
-from zipline_chronon_spark.online.fetcher import Fetcher, upload_batch_state, upload_tiles
+from zipline_chronon_spark.api import (Aggregation, EventSource, GroupBy, Operation,
+                                       Query, TimeUnit, Window)
+from zipline_chronon_spark.online.fetcher import (Fetcher, upload_batch_state,
+                                                  upload_stream_events)
 from zipline_chronon_spark.online.kv import InMemoryKv
 from zipline_chronon_spark.operators.pit_join import compute_key_states
 
@@ -37,18 +39,20 @@ def _gb():
         sources=(EventSource(table="fx_events", query=Query(time_column="ts_ms")),),
         key_columns=("k",),
         aggregations=(
-            Aggregation("v", Operation.SUM, windows=(None,)),
-            Aggregation("v", Operation.COUNT, windows=(None,)),
+            Aggregation("v", Operation.SUM, windows=(None, Window(1, TimeUnit.DAYS))),
+            Aggregation("v", Operation.COUNT, windows=(None, Window(6, TimeUnit.HOURS))),
             Aggregation("v", Operation.AVERAGE, windows=(None,)),
-            Aggregation("v", Operation.MIN, windows=(None,)),
+            Aggregation("v", Operation.MIN, windows=(None, Window(1, TimeUnit.DAYS))),
             Aggregation("v", Operation.MAX, windows=(None,)),
-            Aggregation("v", Operation.LAST, windows=(None,)),
+            Aggregation("v", Operation.LAST, windows=(None, Window(1, TimeUnit.DAYS))),
             Aggregation("v", Operation.FIRST, windows=(None,)),
-            Aggregation("cat", Operation.APPROX_UNIQUE_COUNT, windows=(None,)),
+            Aggregation("cat", Operation.APPROX_UNIQUE_COUNT,
+                        windows=(None, Window(1, TimeUnit.DAYS))),
             Aggregation("cat", Operation.APPROX_FREQUENT_K,
                         arg_map=(("k", "2"),), windows=(None,)),
             Aggregation("v", Operation.APPROX_PERCENTILE,
-                        arg_map=(("percentiles", "[0.5, 0.9]"),), windows=(None,)),
+                        arg_map=(("percentiles", "[0.5, 0.9]"),),
+                        windows=(None, Window(1, TimeUnit.DAYS))),
         ),
     )
 
@@ -56,29 +60,36 @@ def _gb():
 def test_fetch_equals_offline(spark, events):
     gb = _gb()
     t0 = ((BASE + 86_400_000) // HOP) * HOP
-    t1 = t0 + 10 * 3_600_000
+    t1 = t0 + 10 * 3_600_000  # arbitrary fetch point, NOT tile-aligned
 
     kv = InMemoryKv()
-    n_keys = upload_batch_state(kv, spark, gb, t0)
-    assert n_keys == 6
-    n_tiles = upload_tiles(kv, spark, gb, t0, t1, hop_ms=HOP)
-    assert n_tiles > 0
+    n_rows = upload_batch_state(kv, spark, gb, t0)
+    assert n_rows > 6  # collapsed rows + tail tiles
+    n_ev = upload_stream_events(kv, spark, gb, t0, t1)
+    assert n_ev > 0
 
     fetcher = Fetcher(kv, gb)
     offline = (compute_key_states(spark, gb, at_ts_ms=t1)
                .toPandas().set_index("k"))
 
     for key in sorted(offline.index):
-        got = fetcher.fetch((key,))
+        got = fetcher.fetch((key,), at_ts_ms=t1)
         row = offline.loc[key]
         for col in ["v_sum", "v_count", "v_min", "v_max", "v_last", "v_first",
-                    "v_average"]:
-            assert abs(float(got[col]) - float(row[col])) < 1e-9, (key, col)
-        # sparse/exact-regime sketches: exact equality
+                    "v_average", "v_sum_1d", "v_count_6h", "v_min_1d", "v_last_1d"]:
+            g, e = got[col], row[col]
+            if e is None or (isinstance(e, float) and np.isnan(e)):
+                assert g is None, (key, col, g)
+            else:
+                assert abs(float(g) - float(e)) < 1e-9, (key, col, g, e)
+        # sparse/exact-regime sketches: exact equality, incl. windowed
         assert got["cat_approx_unique_count"] == row["cat_approx_unique_count"]
+        assert got["cat_approx_unique_count_1d"] == row["cat_approx_unique_count_1d"]
         assert dict(got["cat_approx_frequent_k"]) == dict(row["cat_approx_frequent_k"])
         np.testing.assert_allclose(got["v_approx_percentile"],
                                    list(row["v_approx_percentile"]), atol=1e-12)
+        np.testing.assert_allclose(got["v_approx_percentile_1d"],
+                                   list(row["v_approx_percentile_1d"]), atol=1e-12)
 
 
 def test_fetch_unseen_key(spark, events):

@@ -1,34 +1,38 @@
 """GroupByUpload + Fetcher: the online serving tier.
 
 Reference shape (GroupByUpload.scala:112-300 batch IR upload;
-Fetcher/FetcherBase online merge; FetcherTestUtil.scala:245-740 asserts
-offline join == online fetch): the batch job writes one IR row per key at
-batchEndTs; the streaming job writes per-(key, hop) tile IRs; at fetch
-time the two merge and finalize.
+SawtoothOnlineAggregator.scala:32-167 batchEndTs split into collapsed IR +
+tail hops; Fetcher merge; FetcherTestUtil.scala:245-740 asserts offline
+join == online fetch). The same decomposition here:
 
-This module implements that contract for every op with a mergeable IR:
+ - upload_batch_state(T0): per key, ONE collapsed IR over events too old
+   for any window tail (ts < tile_floor), plus per-(key, hop) TILE IRs
+   covering [tile_floor, T0] at the finest tail-hop granularity (hops
+   nest: a 1h tail boundary is always a 5m tile boundary).
+ - upload_stream_events(T0, T1]: raw head events (the online head must be
+   exact; tiles would quantize it).
+ - Fetcher.fetch(key, T): per feature —
+     unbounded: collapsed + all tiles + head events with ts <= T
+     windowed:  tiles with hop_start >= round(T - w, tailHop(w))
+                + head events with tail <= ts <= T
+   then finalize. The head rule is the BATCH rule (ts <= T inclusive) so
+   online fetch equals the offline engine exactly (the reference keeps a
+   deliberate strict-< online discrepancy; we match batch for parity).
 
- - scalars: SUM(sum), COUNT(count), AVERAGE(sum,count), MIN, MAX,
-   FIRST/LAST((ts, value) arg-extremes)
- - sketches: APPROX_UNIQUE_COUNT (HLL), APPROX_PERCENTILE (KLL),
-   APPROX_FREQUENT_K / APPROX_HEAVY_HITTERS_K (Misra-Gries) — the bytes
-   IRs from operators/sketches.py.
-
-Unbounded windows only (the windowed tail-hop variant lives in the batch
-engine; serving windowed features requires tile selection at fetch time —
-same tiles, selection by hop_start >= round(T-w, hop)).
+IRs: scalars (sum / count / (sum,count) / min / max / (ts,value)
+arg-extremes) and sketch bytes (HLL / KLL / Misra-Gries) — all
+associative, so tile merge order never matters.
 
 Upload collects IR rows to the driver before kv.put — correct for the
 in-memory store; against a real KV the same rows stream out via
-foreachPartition with identical bytes. The parity oracle
-(tests/test_fetcher.py): fetch(keys) at T1 == compute_key_states at T1.
+foreachPartition with identical bytes. Parity oracle
+(tests/test_fetcher.py): fetch at T1 == compute_key_states at T1.
 """
 
 from __future__ import annotations
 
 import base64
 import json
-import math
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,14 +50,24 @@ _FREQ = {Operation.APPROX_FREQUENT_K, Operation.APPROX_HEAVY_HITTERS_K}
 
 
 def _parts(gb: GroupBy) -> list:
-    parts = [p for p in gb.parts() if p.window is None]
+    parts = gb.parts()
     bad = [p for p in parts if p.operation not in SCALAR_OPS | SKETCH_OPS]
     if bad:
         raise NotImplementedError(f"no mergeable IR for {[p.operation for p in bad]}")
-    if len(parts) != len(gb.parts()):
-        raise NotImplementedError("fetcher tier serves unbounded windows; "
-                                  "windowed features need tile selection")
     return parts
+
+
+def _tile_hop(gb: GroupBy) -> Optional[int]:
+    hops = [p.window.tail_hop_millis() for p in gb.parts() if p.window is not None]
+    return min(hops) if hops else None
+
+
+def _tile_floor(gb: GroupBy, batch_end_ms: int) -> Optional[int]:
+    """Oldest tile needed to serve any windowed part at T >= batch_end."""
+    floors = [((batch_end_ms - p.window.millis) // p.window.tail_hop_millis())
+              * p.window.tail_hop_millis()
+              for p in gb.parts() if p.window is not None]
+    return min(floors) if floors else None
 
 
 def _events(spark: SparkSession, gb: GroupBy, lo: Optional[int], hi: int) -> DataFrame:
@@ -62,17 +76,23 @@ def _events(spark: SparkSession, gb: GroupBy, lo: Optional[int], hi: int) -> Dat
     return pit_join.events_df(spark, gb, time_range_ms=(lo, hi))
 
 
-def _ir_rows(df: DataFrame, gb: GroupBy, extra_group: Optional[F.Column] = None):
-    """One IR row per key (x optional tile window): scalar IRs as Spark
-    aggregates, sketch IRs built Arrow-side per group."""
+def _ir_rows(df: DataFrame, gb: GroupBy, tile_hop: Optional[int] = None):
+    """IR rows per key (x optional hop tile): scalar IRs as Spark
+    aggregates, sketch IRs via grouped Arrow tasks."""
+    from pyspark.sql import types as T
+
     from zipline_chronon_spark.operators import pit_join
-    from zipline_chronon_spark.streaming import lambda_merge
 
     parts = _parts(gb)
     keys = list(gb.key_columns)
+    tiled = tile_hop is not None
     aggs, sketch_parts = [], []
+    seen = set()
     for p in parts:
         c, nm = F.col(p.input_column), p.output_name
+        if nm in seen:
+            continue
+        seen.add(nm)
         if p.operation == Operation.SUM:
             aggs.append(F.sum(c).alias(f"{nm}__sum"))
         elif p.operation == Operation.COUNT:
@@ -92,22 +112,26 @@ def _ir_rows(df: DataFrame, gb: GroupBy, extra_group: Optional[F.Column] = None)
             aggs.append(F.max(F.col(pit_join.TS_COL)).alias(f"{nm}__ts"))
         else:
             sketch_parts.append(p)
-    group_cols = keys + ([extra_group.alias("__tile")] if extra_group is not None else [])
-    scalar_df = df.groupBy(*group_cols).agg(*aggs) if aggs else None
+
+    base = df
+    gcols = list(keys)
+    if tiled:
+        base = df.withColumn(
+            "__tile", (F.col(pit_join.TS_COL) / tile_hop).cast("long") * tile_hop)
+        gcols = keys + ["__tile"]
+    scalar_df = base.groupBy(*gcols).agg(*aggs) if aggs else None
 
     sketch_df = None
     if sketch_parts:
         import pandas as pd
-        from pyspark.sql import types as T
 
         schema = df.select(*keys).schema
-        if extra_group is not None:
+        if tiled:
             schema = schema.add("__tile", T.LongType())
         for p in sketch_parts:
             schema = schema.add(f"{p.output_name}__sk", T.BinaryType())
-
         sp = list(sketch_parts)
-        has_tile = extra_group is not None  # bool only: Columns don't pickle
+        has_tile = tiled  # bool only: Columns/JVM handles don't pickle
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             out = {k: [pdf[k].iloc[0]] for k in keys}
@@ -115,19 +139,31 @@ def _ir_rows(df: DataFrame, gb: GroupBy, extra_group: Optional[F.Column] = None)
                 out["__tile"] = [pdf["__tile"].iloc[0]]
             for p in sp:
                 vals = pdf[p.input_column].dropna().to_numpy()
-                sk = (HllSketch() if p.operation == Operation.APPROX_UNIQUE_COUNT
-                      else FreqSketch() if p.operation in _FREQ else KllSketch())
+                sk = _new_sketch(p.operation)
                 out[f"{p.output_name}__sk"] = [sk.update(vals).to_bytes()]
             return pd.DataFrame(out)
 
-        base = df if extra_group is None else df.withColumn("__tile", extra_group)
-        gcols = keys + (["__tile"] if extra_group is not None else [])
         sketch_df = base.groupBy(*gcols).applyInPandas(build, schema=schema)
 
     if scalar_df is not None and sketch_df is not None:
-        on = keys + (["__tile"] if extra_group is not None else [])
-        return scalar_df.join(sketch_df, on, "full")
+        return scalar_df.join(sketch_df, gcols, "full")
     return scalar_df if scalar_df is not None else sketch_df
+
+
+def _new_sketch(op: Operation):
+    if op == Operation.APPROX_UNIQUE_COUNT:
+        return HllSketch()
+    if op in _FREQ:
+        return FreqSketch()
+    return KllSketch()
+
+
+def _sketch_cls(op: Operation):
+    if op == Operation.APPROX_UNIQUE_COUNT:
+        return HllSketch
+    if op in _FREQ:
+        return FreqSketch
+    return KllSketch
 
 
 def _encode(row: dict, parts) -> bytes:
@@ -146,98 +182,151 @@ def _encode(row: dict, parts) -> bytes:
 
 def upload_batch_state(kv: KvStore, spark: SparkSession, gb: GroupBy,
                        batch_end_ms: int) -> int:
-    """GroupByUpload: one IR row per key over events <= batch_end_ms."""
-    parts = _parts(gb)
-    states = _ir_rows(_events(spark, gb, None, batch_end_ms), gb)
-    n = 0
-    for r in states.collect():  # real store: foreachPartition, same bytes
-        d = r.asDict()
-        kv.put(f"{gb.name}__batch", key_bytes(tuple(d[k] for k in gb.key_columns)),
-               _encode(d, parts))
-        n += 1
-    kv.put(f"{gb.name}__meta", b"batch_end_ms", str(batch_end_ms).encode())
-    return n
-
-
-def upload_tiles(kv: KvStore, spark: SparkSession, gb: GroupBy,
-                 lo_ms: int, hi_ms: int, hop_ms: int = 300_000) -> int:
-    """Streaming half: per-(key, hop) tile IRs for events in (lo, hi]."""
+    """GroupByUpload: collapsed IR per key (events too old for any window
+    tail) + tail-hop tiles covering [tile_floor, batch_end]."""
     from zipline_chronon_spark.operators import pit_join
 
     parts = _parts(gb)
-    ev = _events(spark, gb, lo_ms + 1, hi_ms)
-    tile = (F.col(pit_join.TS_COL) / hop_ms).cast("long") * hop_ms
-    tiles = _ir_rows(ev, gb, extra_group=tile)
+    hop = _tile_hop(gb)
+    floor = _tile_floor(gb, batch_end_ms)
+    ev = _events(spark, gb, None, batch_end_ms)
     n = 0
-    for r in tiles.collect():
-        d = r.asDict()
-        key = key_bytes(tuple(d[k] for k in gb.key_columns)) + b"|" + str(d["__tile"]).encode()
-        kv.put(f"{gb.name}__tiles", key, _encode(d, parts))
-        n += 1
+    if floor is None:  # unbounded-only: one collapsed row per key
+        for r in _ir_rows(ev, gb).collect():
+            d = r.asDict()
+            kv.put(f"{gb.name}__batch",
+                   key_bytes(tuple(d[k] for k in gb.key_columns)), _encode(d, parts))
+            n += 1
+    else:
+        old = ev.where(F.col(pit_join.TS_COL) < floor)
+        recent = ev.where(F.col(pit_join.TS_COL) >= floor)
+        for r in _ir_rows(old, gb).collect():
+            d = r.asDict()
+            kv.put(f"{gb.name}__batch",
+                   key_bytes(tuple(d[k] for k in gb.key_columns)), _encode(d, parts))
+            n += 1
+        for r in _ir_rows(recent, gb, tile_hop=hop).collect():
+            d = r.asDict()
+            key = (key_bytes(tuple(d[k] for k in gb.key_columns))
+                   + b"|" + str(d["__tile"]).encode())
+            kv.put(f"{gb.name}__tiles", key, _encode(d, parts))
+            n += 1
+    kv.put(f"{gb.name}__meta", b"batch_end_ms", str(batch_end_ms).encode())
+    kv.put(f"{gb.name}__meta", b"tile_floor", str(floor if floor is not None else -1).encode())
     return n
 
 
+def upload_stream_events(kv: KvStore, spark: SparkSession, gb: GroupBy,
+                         lo_ms: int, hi_ms: int) -> int:
+    """Raw post-batch head events (lo, hi] — exact online head accuracy
+    (the reference keeps raw stream rows in KV for TEMPORAL serving)."""
+    from zipline_chronon_spark.operators import pit_join
+
+    parts = _parts(gb)
+    inputs = sorted({p.input_column for p in parts})
+    ev = _events(spark, gb, lo_ms + 1, hi_ms)
+    rows = ev.select(*gb.key_columns, pit_join.TS_COL, *inputs).collect()
+    for i, r in enumerate(rows):
+        d = r.asDict()
+        key = (key_bytes(tuple(d[k] for k in gb.key_columns))
+               + b"|" + str(d[pit_join.TS_COL]).encode() + b"|" + str(i).encode())
+        kv.put(f"{gb.name}__events", key,
+               json.dumps({"ts": d[pit_join.TS_COL],
+                           **{c: d[c] for c in inputs}}, default=float).encode())
+    return len(rows)
+
+
 class Fetcher:
-    """Fetch-time lambda merge: batch IR + tiles -> finalized features."""
+    """Fetch-time sawtooth merge: collapsed + selected tiles + head events."""
 
     def __init__(self, kv: KvStore, gb: GroupBy):
         self.kv = kv
         self.gb = gb
         self.parts = _parts(gb)
+        be = kv.get(f"{gb.name}__meta", b"batch_end_ms")
+        self.batch_end_ms = int(be) if be is not None else None
 
-    def fetch(self, key_values: tuple) -> dict:
+    def fetch(self, key_values: tuple, at_ts_ms: Optional[int] = None) -> dict:
         kb = key_bytes(key_values)
-        irs = []
+        T = at_ts_ms if at_ts_ms is not None else self.batch_end_ms
+        collapsed = None
         b = self.kv.get(f"{self.gb.name}__batch", kb)
         if b is not None:
-            irs.append(json.loads(b))
-        for _, v in self.kv.scan(f"{self.gb.name}__tiles", kb + b"|"):
-            irs.append(json.loads(v))
-        return {p.output_name: self._finalize(p, irs) for p in self.parts}
+            collapsed = json.loads(b)
+        tiles = []
+        for k, v in self.kv.scan(f"{self.gb.name}__tiles", kb + b"|"):
+            hop_start = int(k.rsplit(b"|", 1)[1])
+            tiles.append((hop_start, json.loads(v)))
+        events = []
+        for k, v in self.kv.scan(f"{self.gb.name}__events", kb + b"|"):
+            e = json.loads(v)
+            if e["ts"] <= T:
+                events.append(e)
+        out = {}
+        for p in self.parts:
+            irs = []
+            if p.window is None:
+                if collapsed is not None:
+                    irs.append(collapsed)
+                irs.extend(ir for _, ir in tiles)
+                evs = events
+            else:
+                hop = p.window.tail_hop_millis()
+                tail = ((T - p.window.millis) // hop) * hop
+                irs.extend(ir for hs, ir in tiles if hs >= tail)
+                evs = [e for e in events if e["ts"] >= tail]
+            out[p.output_name] = self._finalize(p, irs, evs)
+        return out
 
-    def _finalize(self, p, irs: list[dict]):
-        nm = p.output_name
-        op = p.operation
+    # -- per-op merge + head-event update + finalize -------------------------
+    def _finalize(self, p, irs: list[dict], evs: list[dict]):
+        nm, op, col = p.output_name, p.operation, p.input_column
+        vals = [e[col] for e in evs if e.get(col) is not None]
         if op in SKETCH_OPS:
             sk = None
             for ir in irs:
                 raw = ir.get(f"{nm}__sk")
                 if raw is None:
                     continue
-                cls = (HllSketch if op == Operation.APPROX_UNIQUE_COUNT
-                       else FreqSketch if op in _FREQ else KllSketch)
-                cur = cls.from_bytes(base64.b64decode(raw))
+                cur = _sketch_cls(op).from_bytes(base64.b64decode(raw))
                 sk = cur if sk is None else sk.merge(cur)
+            if vals:
+                sk = sk or _new_sketch(op)
+                sk.update(vals)
             if sk is None:
                 return None
             if op == Operation.APPROX_UNIQUE_COUNT:
                 return int(round(sk.estimate()))
             if op in _FREQ:
-                pcts_k = p.k or 1
-                return sk.top_k(pcts_k,
+                return sk.top_k(p.k or 1,
                                 no_false_positives=op == Operation.APPROX_HEAVY_HITTERS_K)
             pcts = [float(x) for x in
                     p.args.get("percentiles", "[0.5]").strip("[] ").split(",")]
             return sk.quantiles(pcts)
-        vals = [ir for ir in irs if any(k.startswith(f"{nm}__") for k in ir)]
-        if not vals:
+
+        have = [ir for ir in irs if any(k.startswith(f"{nm}__") for k in ir)]
+        if not have and not vals:
             return None
         if op == Operation.SUM:
-            return sum(ir[f"{nm}__sum"] for ir in vals if f"{nm}__sum" in ir)
+            return sum(ir.get(f"{nm}__sum", 0) for ir in have) + sum(vals)
         if op == Operation.COUNT:
-            return sum(ir[f"{nm}__count"] for ir in vals if f"{nm}__count" in ir)
+            return sum(ir.get(f"{nm}__count", 0) for ir in have) + len(vals)
         if op == Operation.AVERAGE:
-            s = sum(ir[f"{nm}__sum"] for ir in vals if f"{nm}__sum" in ir)
-            c = sum(ir[f"{nm}__count"] for ir in vals if f"{nm}__count" in ir)
+            s = sum(ir.get(f"{nm}__sum", 0) for ir in have) + sum(vals)
+            c = sum(ir.get(f"{nm}__count", 0) for ir in have) + len(vals)
             return s / c if c else None
         if op == Operation.MIN:
-            return min(ir[f"{nm}__min"] for ir in vals if f"{nm}__min" in ir)
+            cands = [ir[f"{nm}__min"] for ir in have if f"{nm}__min" in ir] + vals
+            return min(cands) if cands else None
         if op == Operation.MAX:
-            return max(ir[f"{nm}__max"] for ir in vals if f"{nm}__max" in ir)
+            cands = [ir[f"{nm}__max"] for ir in have if f"{nm}__max" in ir] + vals
+            return max(cands) if cands else None
+        # FIRST / LAST: (ts, value) arg-extremes; head events carry their ts
+        pairs = [(ir[f"{nm}__ts"], ir[f"{nm}__v"]) for ir in have
+                 if f"{nm}__ts" in ir]
+        pairs += [(e["ts"], e[col]) for e in evs if e.get(col) is not None]
+        if not pairs:
+            return None
         if op == Operation.FIRST:
-            best = min((ir for ir in vals if f"{nm}__ts" in ir),
-                       key=lambda ir: ir[f"{nm}__ts"], default=None)
-        else:  # LAST
-            best = max((ir for ir in vals if f"{nm}__ts" in ir),
-                       key=lambda ir: ir[f"{nm}__ts"], default=None)
-        return best[f"{nm}__v"] if best else None
+            return min(pairs, key=lambda t: t[0])[1]
+        return max(pairs, key=lambda t: t[0])[1]
