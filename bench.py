@@ -204,11 +204,12 @@ def main() -> None:
     t_flagship = best_of(lambda: flagship_backfill(spark, tpath))
     timings["flagship_pit_backfill"] = round(t_flagship, 3)
 
-    # driver-facing queries on the events table
-    import __spark_entry__ as entry_mod
+    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") != "1":
+        # driver-facing queries on the events table
+        import __spark_entry__ as entry_mod
 
-    for name, fn in entry_mod.queries().items():
-        timings[name] = round(best_of(lambda: fn(spark, SF_DIR).count()), 3)
+        for name, fn in entry_mod.queries().items():
+            timings[name] = round(best_of(lambda: fn(spark, SF_DIR).count()), 3)
     spark.stop()
 
     # scaling: identical backfill at N vs 4N cores on the same input, each
