@@ -226,14 +226,17 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                       max_hamming: int = 8) -> DataFrame:
+                       max_hamming: int = 8,
+                       max_bucket: int | None = None) -> DataFrame:
     """All pairs with hamming(simhash_a, simhash_b) <= max_hamming, found by
     multi-band LSH over the four 15-bit bands of the 60-bit simhash: a pair
     with hamming <= 3 is GUARANTEED to agree on at least one band
     (pigeonhole: 4 bands, <=3 differing bits); larger distances are found
     with high probability. Candidates are deduped across bands, then
     exact-hamming filtered — no all-pairs join, recall not tied to one
-    arbitrary band."""
+    arbitrary band. ``max_bucket`` drops (band_id, band) cells larger than
+    that (skew defense, same rationale as minhash_lsh_pairs: a giant cell
+    is an exact-dup cluster and its self-join goes quadratic)."""
     s = simhash64(_fan_out(df, id_col), id_col, text_col)
     bands = s.select(
         id_col, "simhash",
@@ -241,6 +244,10 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
             F.shiftright("simhash", 15 * j).bitwiseAND(F.lit(0x7FFF)) for j in range(4)
         ])).alias("band_id", "band"),
     )
+    if max_bucket is not None:
+        hot = (bands.groupBy("band_id", "band").agg(F.count(F.lit(1)).alias("bn"))
+               .where(F.col("bn") > max_bucket).select("band_id", "band"))
+        bands = bands.join(F.broadcast(hot), ["band_id", "band"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
