@@ -832,6 +832,35 @@ def o_fingerprint() -> str:
     """
 
 
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over real binary columns: text encoded to bytes
+    stands in for media payloads; metadata extraction runs the actual
+    Arrow-batch mapInPandas path with the deterministic stub decoder
+    (sha256-derived), which the DuckDB oracle replays exactly."""
+    from zipline_chronon_spark.operators.multimodal import extract_media_metadata
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.encode("text", "UTF-8").alias("media")))
+    out = extract_media_metadata(docs, binary_col="media")
+    return out.select("doc_id", "media_bytes", "sha256", "format",
+                      "width", "height", "n_frames", "duration_ms")
+
+
+def o_multimodal_meta() -> str:
+    sha = "sha256(text)"
+    return f"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS media_bytes,
+           {sha} AS sha256,
+           'fake' AS format,
+           16 + CAST(('0x' || substr({sha}, 1, 2)) AS INT) AS width,
+           16 + CAST(('0x' || substr({sha}, 3, 2)) AS INT) AS height,
+           1 + CAST(('0x' || substr({sha}, 5, 1)) AS INT) AS n_frames,
+           CAST(('0x' || substr({sha}, 1, 6)) AS BIGINT) AS duration_ms
+    FROM documents
+    """
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipline_chronon_spark.operators.similarity import brute_force_topk
 
@@ -964,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "text_features": q_text_features,
         "fingerprint": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "snapshot_daily": q_snapshot_daily,
@@ -992,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": o_dedup_simhash(),
         "text_features": o_text_features(),
         "fingerprint": o_fingerprint(),
+        "multimodal_meta": o_multimodal_meta(),
         "ann_cosine_topk": o_ann_cosine_topk(),
         "snapshot_daily": o_snapshot_daily(),
         "staging_pricing": o_staging_pricing(),
