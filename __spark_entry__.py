@@ -343,10 +343,12 @@ def q_pit_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     def denan(c):
         col = F.col(c)
         return F.when(F.isnan(col), None).otherwise(col)
+    # `+ 0.0` after round(): IEEE -0.0 + 0.0 = +0.0, so a negative zero on
+    # either engine canonicalizes before the driver's sign-sensitive hash
     return df.select(
         "event_id",
-        F.round(denan("skew_raw") + F.lit(ROUND_EPS), 4).alias("skew_7d"),
-        F.round(denan("kurt_raw") + F.lit(ROUND_EPS), 4).alias("kurt_7d"),
+        (F.round(denan("skew_raw") + F.lit(ROUND_EPS), 4) + F.lit(0.0)).alias("skew_7d"),
+        (F.round(denan("kurt_raw") + F.lit(ROUND_EPS), 4) + F.lit(0.0)).alias("kurt_7d"),
     )
 
 
@@ -359,9 +361,9 @@ def o_pit_skew_kurt() -> str:
         f"""
         CASE WHEN {n} < 3 OR var_pop(v) FILTER (WHERE {t7}) = 0 THEN NULL
              ELSE round(skewness(v) FILTER (WHERE {t7})
-                        * ({n} - 2) / sqrt({n} * ({n} - 1.0)) + 0.0000001, 4) END AS skew_7d,
+                        * ({n} - 2) / sqrt({n} * ({n} - 1.0)) + 0.0000001, 4) + 0.0 END AS skew_7d,
         CASE WHEN {n} < 4 OR var_pop(v) FILTER (WHERE {t7}) = 0 THEN NULL
-             ELSE round(kurtosis_pop(v) FILTER (WHERE {t7}) + 0.0000001, 4) END AS kurt_7d
+             ELSE round(kurtosis_pop(v) FILTER (WHERE {t7}) + 0.0000001, 4) + 0.0 END AS kurt_7d
         """
     )
 
@@ -887,11 +889,58 @@ def o_ann_cosine_topk() -> str:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (bucket boundaries are seed-dependent: rows-only)."""
+    """LSH-bucketed ANN. Hyperplanes are md5-derived fixed-point vectors
+    (similarity._md5_planes) so the DuckDB oracle replays bucket assignment
+    bit-for-bit; per-cell top-k + global merge is EXACT top-k over the
+    union of bucket-mates (a global-top-i mate has <i better mates in any
+    cell containing it), which is what the oracle computes directly."""
     from zipline_chronon_spark.operators.similarity import lsh_bucketed_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_bucketed_topk(emb, k=3, n_planes=4, n_bands=4)
+    out = lsh_bucketed_topk(emb, k=3, n_planes=4, n_bands=4)
+    return out.select("vec_id", "neighbor_id", "rank",
+                      F.round(F.col("sim") + F.lit(ROUND_EPS), 6).alias("sim"))
+
+
+def o_ann_lsh_topk() -> str:
+    # exact oracle while no (band, bucket) cell exceeds max_bucket=4096
+    # (true at every driver/bench SF; the subsample knob is skew defense)
+    return """
+    WITH comps AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    ), planes AS (
+      SELECT tp.p, td.d,
+             CAST(('0x' || substr(md5('lsh7:' || tp.p || ':' || td.d), 1, 15)) AS BIGINT)
+               - 576460752303423488 AS w
+      FROM range(16) tp(p), range(64) td(d)
+    ), dots AS (
+      SELECT c.vec_id, pl.p, sum(c.x * pl.w) AS dot
+      FROM comps c JOIN planes pl USING (d)
+      GROUP BY c.vec_id, pl.p
+    ), buckets AS (
+      SELECT vec_id, p // 4 AS band,
+             sum(CASE WHEN dot >= 0 THEN 1 << (p % 4) ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id, p // 4
+    ), pairs AS (
+      SELECT DISTINCT a.vec_id AS q, b.vec_id AS n
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ), sims AS (
+      SELECT p.q AS vec_id, p.n AS neighbor_id,
+             list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])) AS sim
+      FROM pairs p JOIN embeddings ea ON ea.vec_id = p.q
+                   JOIN embeddings eb ON eb.vec_id = p.n
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rk
+      FROM sims
+    )
+    SELECT vec_id, neighbor_id, rk::INT AS rank, round(sim + 0.0000001, 6) AS sim
+    FROM r WHERE rk <= 3
+    """
 
 
 def q_snapshot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1023,7 +1072,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": o_fingerprint(),
         "multimodal_meta": o_multimodal_meta(),
         "ann_cosine_topk": o_ann_cosine_topk(),
+        "ann_lsh_topk": o_ann_lsh_topk(),
         "snapshot_daily": o_snapshot_daily(),
         "staging_pricing": o_staging_pricing(),
-        # ann_lsh_topk: hyperplane seeds are numpy-side -> rows-only check
     }

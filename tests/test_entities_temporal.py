@@ -197,7 +197,14 @@ def test_insert_only_ops_vs_oracle(spark, tmp_path_factory):
     q_pdf = pd.DataFrame(qrows, columns=["key", "qts", "qid"])
     q = spark.createDataFrame(q_pdf).withColumn("__row_id", F.col("qid").cast("long"))
 
-    got = compute_entities_temporal(spark, gb, q, row_id="__row_id", query_time_col="qts")
+    # the feed has reversals and MIN/LAST_K are insert-only: without the
+    # explicit opt-in the engine must refuse (reference throws in delete)
+    with pytest.raises(ValueError, match="insert-only"):
+        compute_entities_temporal(spark, gb, q, row_id="__row_id",
+                                  query_time_col="qts")
+
+    got = compute_entities_temporal(spark, gb, q, row_id="__row_id",
+                                    query_time_col="qts", allow_insert_only=True)
     res = got.toPandas().sort_values("__row_id").reset_index(drop=True)
     assert len(res) == len(q_pdf)
 

@@ -105,11 +105,17 @@ def _ir_rows(df: DataFrame, gb: GroupBy, tile_hop: Optional[int] = None):
         elif p.operation == Operation.MAX:
             aggs.append(F.max(c).alias(f"{nm}__max"))
         elif p.operation == Operation.FIRST:
-            aggs.append(F.min_by(c, F.col(pit_join.TS_COL)).alias(f"{nm}__v"))
-            aggs.append(F.min(F.col(pit_join.TS_COL)).alias(f"{nm}__ts"))
+            # ts restricted to rows where the VALUE is non-null: min_by/max_by
+            # skip null ordering keys, so __v and __ts come from the SAME row
+            # and a null-valued extreme-ts row can't split the pair (batch
+            # kernels pre-filter nulls; this keeps tile merge consistent)
+            ts_nn = F.when(c.isNotNull(), F.col(pit_join.TS_COL))
+            aggs.append(F.min_by(c, ts_nn).alias(f"{nm}__v"))
+            aggs.append(F.min(ts_nn).alias(f"{nm}__ts"))
         elif p.operation == Operation.LAST:
-            aggs.append(F.max_by(c, F.col(pit_join.TS_COL)).alias(f"{nm}__v"))
-            aggs.append(F.max(F.col(pit_join.TS_COL)).alias(f"{nm}__ts"))
+            ts_nn = F.when(c.isNotNull(), F.col(pit_join.TS_COL))
+            aggs.append(F.max_by(c, ts_nn).alias(f"{nm}__v"))
+            aggs.append(F.max(ts_nn).alias(f"{nm}__ts"))
         else:
             sketch_parts.append(p)
 
@@ -323,7 +329,7 @@ class Fetcher:
             return max(cands) if cands else None
         # FIRST / LAST: (ts, value) arg-extremes; head events carry their ts
         pairs = [(ir[f"{nm}__ts"], ir[f"{nm}__v"]) for ir in have
-                 if f"{nm}__ts" in ir]
+                 if ir.get(f"{nm}__ts") is not None and f"{nm}__v" in ir]
         pairs += [(e["ts"], e[col]) for e in evs if e.get(col) is not None]
         if not pairs:
             return None

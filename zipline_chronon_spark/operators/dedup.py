@@ -51,6 +51,17 @@ def distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     )
 
 
+# persisted-subtree registry: long-lived sessions call release_caches()
+# between jobs (see ngram_jaccard_pairs docstring)
+_PERSISTED: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every shingle cache registered by ngram_jaccard_pairs."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -67,7 +78,14 @@ def ngram_jaccard_pairs(
     |docs|^2. ``df_cap`` drops shingles whose document frequency exceeds
     that fraction of the corpus (stopword shingles dominate the self-join
     and carry no near-dup signal) — the standard cost knob; None = exact
-    semantics. LSH (below) is the sub-linear path."""
+    semantics. LSH (below) is the sub-linear path.
+
+    Cache lifecycle: the plan persists its shingle subtree (it feeds sizes
+    plus both self-join sides). The persisted handle is registered in
+    ``_PERSISTED`` and attached to the result as ``_zc_persisted``; callers
+    running many jaccard jobs in one long-lived session should call
+    ``release_caches()`` (or ``result._zc_persisted.unpersist()``) after
+    materializing, otherwise cached shingle partitions accumulate."""
     df = _fan_out(df, id_col)
     sh = distinct_shingles(df, id_col, text_col, n)
     if df_cap is not None:
@@ -78,6 +96,7 @@ def ngram_jaccard_pairs(
     # sh feeds sizes + both self-join sides: persist so the shingle explode
     # is computed once, not three times (at scale: checkpoint instead)
     sh = sh.persist()
+    _PERSISTED.append(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -88,12 +107,14 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         shared.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
         .withColumn("jaccard", F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_shared", "jaccard")
     )
+    out._zc_persisted = sh
+    return out
 
 
 # deterministic 60-bit XOR salts, one per MinHash permutation; shared with
@@ -195,10 +216,13 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     # bit masks must be literals (shift-by-column is unsupported)
     masks = [1 << j for j in range(60)]
     # explode tokens -> one md5-60 per token -> SIMD-in-a-register vote
-    # counting: 15 agg sums, each packing FOUR 16-bit ones-counters (bit j's
-    # set-count in lanes of 16 bits), plus count(h) for the votes threshold
-    # (ones > n/2). 16 codegen'd agg buffers instead of 60 (60 separate sums
+    # counting: 30 agg sums, each packing TWO 32-bit ones-counters (bit j's
+    # set-count in lanes of 32 bits), plus count(h) for the votes threshold
+    # (ones > n/2). 31 codegen'd agg buffers instead of 60 (60 separate sums
     # blow the codegen method limit and fall back to interpreted updates).
+    # 32-bit lanes bound cross-lane carry at 2^31 whitespace tokens PER DOC
+    # (a ~10 GiB single document) and keep the per-group ANSI sum below
+    # 2^63 up to that same count; 16-bit lanes would overflow at 65k tokens.
     toks = df.select(
         F.col(id_col),
         F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok"),
@@ -206,20 +230,20 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
              F.when(F.col("__tok").isNotNull(), _h60(F.col("__tok"))).alias("__h"))
     h = F.col("__h")
     packed = []
-    for g in range(15):  # group g covers bits 4g..4g+3, one 16-bit lane each
+    for g in range(30):  # group g covers bits 2g..2g+1, one 32-bit lane each
         term = F.lit(0).cast("long")
-        for lane in range(4):
-            j = 4 * g + lane
+        for lane in range(2):
+            j = 2 * g + lane
             bit = F.shiftright(h, j).bitwiseAND(F.lit(1))
-            term = term + F.shiftleft(bit, 16 * lane)
+            term = term + F.shiftleft(bit, 32 * lane)
         packed.append(F.sum(F.when(h.isNull(), 0).otherwise(term)).alias(f"__p{g}"))
     voted = toks.groupBy(id_col).agg(F.count("__h").alias("__n"), *packed)
     sim = F.lit(0).cast("long")
     n2 = F.col("__n")  # bit set iff ones-count*2 > n  <=>  votes > 0
-    for g in range(15):
-        for lane in range(4):
-            j = 4 * g + lane
-            ones = F.shiftright(F.col(f"__p{g}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
+    for g in range(30):
+        for lane in range(2):
+            j = 2 * g + lane
+            ones = F.shiftright(F.col(f"__p{g}"), 32 * lane).bitwiseAND(F.lit(0xFFFFFFFF))
             sim = sim.bitwiseOR(
                 F.when(ones * 2 > n2, F.lit(masks[j])).otherwise(F.lit(0)).cast("long"))
     return voted.select(F.col(id_col), sim.alias("simhash"))

@@ -93,10 +93,19 @@ def compute_entities_temporal(
     row_id: str = pit_join.ROW_ID,
     query_time_col: str = "ts",
     num_partitions: Optional[int] = None,
+    allow_insert_only: bool = False,
 ) -> DataFrame:
     """Point-in-time features over a mutable dimension. gb.sources must be
     one EntitySource with snapshot_table + mutation_table. Returns
-    (row_id, feature columns…)."""
+    (row_id, feature columns…).
+
+    ``allow_insert_only``: KERNEL_SAFE ops (MIN/MAX/FIRST/LAST/K-ops/
+    distinct/percentiles) replay mutations insert-only — before-images are
+    ignored. On a feed that actually CONTAINS reversals those features
+    would silently include deleted/overwritten values (the reference
+    throws in BaseAggregator.delete for these ops). So when a KERNEL_SAFE
+    part is requested, this function probes the mutation feed for
+    is_before rows and raises unless the caller opts in explicitly."""
     _validate(gb)
     (src,) = gb.sources
     assert isinstance(src, EntitySource) and src.mutation_table, (
@@ -141,6 +150,20 @@ def compute_entities_temporal(
         F.col(REVERSAL).cast("boolean").alias("__rev"),
         F.lit(0).cast("long").alias(pit_join.ROW_ID),
     )
+
+    kernel_ops = sorted({p.operation.name for p in gb.parts()
+                         if p.operation in KERNEL_SAFE})
+    if kernel_ops and not allow_insert_only:
+        # one bounded probe (limit 1): insert-only replay is only exact on
+        # append-only feeds; fail loudly instead of silently including
+        # reversed rows in non-deletable aggregates
+        has_rev = bool(mut.where(F.col(REVERSAL).cast("boolean")).limit(1).count())
+        if has_rev:
+            raise ValueError(
+                f"mutation feed contains before-images but {kernel_ops} only "
+                "support insert-only replay (reference BaseAggregator.delete "
+                "throws here, BaseAggregator.scala:60-61); pass "
+                "allow_insert_only=True to accept the over-approximation")
 
     q_dt = queries.select(F.expr(query_time_col).alias("t")).schema[0].dataType
     q_ms = pit_join._time_to_millis(F.expr(query_time_col), q_dt)

@@ -23,6 +23,7 @@ Python anywhere (BASELINE.json input_hint: vectorized pandas/Arrow UDFs).
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -31,6 +32,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _OUT_SCHEMA = "{id} long, neighbor_id long, rank int, sim double"
+
+
+def _md5_planes(seed: int, dim: int, total: int) -> np.ndarray:
+    """Deterministic (dim x total) hyperplane matrix, replayable by ANY
+    engine with md5 (the dedup.py _h60 trick): component (p, d) =
+    first-15-hex of md5(f"lsh{seed}:{p}:{d}") as int, centered by -2^59 —
+    a uniform signed 60-bit fixed-point value. Sign hashing only needs a
+    sign-symmetric component distribution, not gaussian; uniform-cube
+    directions trade a small angular bias for exact cross-engine replay
+    (recall is property-tested in tests/test_data_ops.py). DuckDB replay:
+    ('0x'||substr(md5('lsh'||s||':'||p||':'||d),1,15))::BIGINT
+      - 576460752303423488."""
+    vals = np.empty((dim, total), dtype=np.float64)
+    for p in range(total):
+        for d in range(dim):
+            h = hashlib.md5(f"lsh{seed}:{p}:{d}".encode()).hexdigest()[:15]
+            vals[d, p] = float(int(h, 16) - (1 << 59))
+    return vals
 
 
 def _normalized_matrix(pdf_vecs: pd.Series) -> np.ndarray:
@@ -132,8 +151,8 @@ def band_buckets(
 ) -> DataFrame:
     """(id, vec, band, bucket) — one row per band. Hyperplane signs are
     computed Arrow-batch-wise as a single (n x dim) @ (dim x total_planes)
-    GEMM; the plane matrix is derived per-task from the seed (no driver
-    state, no per-row Python)."""
+    GEMM; the plane matrix is md5-derived per-task from the seed (no
+    driver state, no per-row Python, DuckDB-replayable — see _md5_planes)."""
     from pyspark.sql import types as T
 
     total = n_bands * planes_per_band
@@ -148,7 +167,7 @@ def band_buckets(
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if planes is None:
-                planes = np.random.default_rng(seed).standard_normal((m.shape[1], total))
+                planes = _md5_planes(seed, m.shape[1], total)
             bits = (m @ planes >= 0).reshape(len(pdf), n_bands, planes_per_band)
             codes = bits @ weights  # (n, n_bands) int64 bucket codes
             yield pd.DataFrame({

@@ -49,11 +49,14 @@ def run_timestamp_checks(df: DataFrame, ts_col: str, rep: AnalysisReport,
         rep.errors.append(f"no timestamp column '{ts_col}' on source")
         return
     row = (
-        df.limit(min(sample, 100))
+        df.limit(sample)
         .agg(
             F.sum(F.when(F.col(ts_col).isNull(), 0).otherwise(1)).alias("not_null"),
-            F.sum(F.when(F.col(ts_col).between(_TS_MIN_MS, _TS_MAX_MS), 0)
-                  .otherwise(1)).alias("bad_range"),
+            # nulls are the all-null check's job; counting them here would
+            # mislabel a partially-null column as a wrong-unit problem
+            F.sum(F.when(F.col(ts_col).isNotNull()
+                         & ~F.col(ts_col).between(_TS_MIN_MS, _TS_MAX_MS), 1)
+                  .otherwise(0)).alias("bad_range"),
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]
     )
