@@ -943,6 +943,57 @@ def o_ann_lsh_topk() -> str:
     """
 
 
+def q_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(EVENTS, EVENTS, SNAPSHOT) join-part cell: each left event on ts-day d
+    sees features as of end-of-day(d-1) (JoinPartJob.scala:220 shifted range
+    + JoinBase.scala:66-125 ts_ds join; operators/join.py
+    _snapshot_events_part aggregates once per distinct (key, day))."""
+    from zipline_chronon_spark.api import Accuracy
+
+    gb = GroupBy(
+        name="snapjp",
+        sources=(_events_source(sf_dir),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SUM, windows=(W7D,)),
+            Aggregation("value", Operation.COUNT, windows=(None,)),
+        ),
+        accuracy=Accuracy.SNAPSHOT,
+        tie_breaker_column="event_id",
+    )
+    j = Join(
+        name="snapjoin",
+        left=EventSource(table=f"{sf_dir}/events.parquet",
+                         query=Query(time_column="ts",
+                                     selects={"event_id": "event_id",
+                                              "user_id": "user_id"})),
+        parts=(JoinPart(group_by=gb),),
+    )
+    out = compute_join(spark, j)
+    return out.select(
+        "event_id",
+        (F.round(F.col("snapjp_value_sum_7d") + F.lit(ROUND_EPS), 4)
+         + F.lit(0.0)).alias("snap_sum_7d"),
+        F.col("snapjp_value_count").alias("snap_cnt_all"),
+    )
+
+
+def o_join_snapshot() -> str:
+    return """
+    WITH l AS (SELECT event_id, user_id, epoch_ms(ts) // 86400000 AS d FROM events),
+    j AS (
+      SELECT l.event_id, l.d, e.value AS v, epoch_ms(e.ts) AS ets
+      FROM l LEFT JOIN events e
+        ON e.user_id = l.user_id AND epoch_ms(e.ts) < l.d * 86400000
+    )
+    SELECT event_id,
+           round(sum(v) FILTER (WHERE ets >= (d - 7) * 86400000) + 0.0000001, 4)
+             + 0.0 AS snap_sum_7d,
+           CASE WHEN count(v) = 0 THEN NULL ELSE count(v) END AS snap_cnt_all
+    FROM j GROUP BY event_id, d
+    """
+
+
 def q_snapshot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNAPSHOT (daily) accuracy: per (user, day) features over calendar-day
     windows ending at end-of-day (GroupBy.snapshotEvents semantics)."""
@@ -1044,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "join_snapshot": q_join_snapshot,
         "snapshot_daily": q_snapshot_daily,
         "staging_pricing": q_staging_pricing,
     }
@@ -1073,6 +1125,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": o_multimodal_meta(),
         "ann_cosine_topk": o_ann_cosine_topk(),
         "ann_lsh_topk": o_ann_lsh_topk(),
+        "join_snapshot": o_join_snapshot(),
         "snapshot_daily": o_snapshot_daily(),
         "staging_pricing": o_staging_pricing(),
     }

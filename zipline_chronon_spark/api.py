@@ -124,11 +124,18 @@ class Query:
 
 @dataclass(frozen=True)
 class EventSource:
-    """Immutable, date-partitioned fact table. api.thrift:112-132."""
+    """Immutable, date-partitioned fact table. api.thrift:112-132.
+
+    ``is_cumulative``: each ds partition holds the COMPLETE history up to
+    that day, so only the latest partition is scanned (reference
+    GroupBy.scala:759-764 SourceDataProfile(latestValid, ...)); scanning
+    all partitions would double-count. ``partition_column`` names the
+    table's date partition and is only consulted for cumulative sources."""
 
     table: str  # table name or parquet path (path if contains '/')
     query: Query = field(default_factory=Query)
     is_cumulative: bool = False
+    partition_column: str = "ds"
 
 
 @dataclass(frozen=True)

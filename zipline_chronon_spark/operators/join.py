@@ -28,10 +28,61 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from zipline_chronon_spark.api import EventSource, Join
+from zipline_chronon_spark.api import Accuracy, EntitySource, EventSource, Join
 from zipline_chronon_spark.operators import pit_join
 
 ROW_ID = pit_join.ROW_ID
+MS_DAY = 86_400_000
+
+
+def _snapshot_events_part(
+    spark: SparkSession,
+    gb,
+    left: DataFrame,
+    mapping: dict[str, str],
+    num_partitions: Optional[int],
+) -> DataFrame:
+    """(EVENTS-left, EVENTS-right, SNAPSHOT accuracy) join cell: the left
+    row on ts-day d sees features as of END-OF-DAY(d-1) — the reference
+    runs snapshotEvents over the partition range shifted -1 day and joins
+    on ts_ds with a +1-day realignment (JoinPartJob.scala:217-247 case at
+    :220; JoinBase.scala:66-125 joinWithLeft TimePartitionColumn branch).
+
+    Spark-first shape: aggregate ONCE per distinct (key, ts-day) demanded
+    by the left (not per left row, and not for days nobody asks about),
+    anchored at q_ts = day*MS_DAY - 1 == 23:59:59.999 of day d-1 (the
+    engine's head rule is ts <= T inclusive, matching the reference's
+    end-of-day snapshot). Returns (right keys..., __day, features...)."""
+    right_keys = list(gb.key_columns)
+    left_col = {r: l for l, r in mapping.items()}  # right key -> left col
+    day = (F.col(pit_join.TS_COL) / MS_DAY).cast("long")
+    qd = left.select(
+        *[F.col(left_col.get(r, r)).alias(r) for r in right_keys],
+        day.alias("__day"),
+    ).distinct()
+    qd = qd.withColumn("__q_ts", F.col("__day") * MS_DAY - F.lit(1))
+    # minted id must be stable across the two uses of qd (same reason the
+    # join left is persisted); qd is |distinct keys x days| — small
+    qd = qd.withColumn(ROW_ID, F.monotonically_increasing_id()).persist()
+    qd.count()
+    feats = pit_join.compute_group_by(
+        spark, gb, qd, row_id=ROW_ID, query_time_col="__q_ts",
+        num_partitions=num_partitions,
+    )
+    return qd.join(feats, ROW_ID).drop("__q_ts", ROW_ID)
+
+
+def _snapshot_entities_part(spark: SparkSession, gb,
+                            num_partitions: Optional[int]) -> DataFrame:
+    """(EVENTS-left, ENTITIES-right, SNAPSHOT): snapshot partition ds
+    serves left rows of ts-day ds+1 (JoinPartJob.scala:243
+    genGroupBy(shiftedPartitionRange).snapshotEntities + the same +1-day
+    ts_ds realignment). Returns (right keys..., __day, features...)."""
+    snap = pit_join.compute_entity_snapshot(spark, gb, num_partitions)
+    served_day = (
+        F.unix_millis(F.to_timestamp(F.col("ds"), "yyyy-MM-dd")) / MS_DAY
+    ).cast("long") + 1
+    return snap.withColumn("__day", served_day).drop("ds")
 
 
 def _sql_literal(v) -> str:
@@ -114,17 +165,28 @@ def compute_join(
                     for s in gb.sources
                 ),
             )
-        part_df = pit_join.compute_group_by(
-            spark,
-            gb,
-            left,
-            row_id=ROW_ID,
-            key_mapping=mapping,
-            query_time_col=pit_join.TS_COL,
-            num_partitions=num_partitions,
-        )
         prefix = part.full_prefix
-        renames = {c: f"{prefix}_{c}" for c in part_df.columns if c != ROW_ID}
+        if gb.accuracy == Accuracy.SNAPSHOT:
+            # day-keyed snapshot cell: features anchored at end-of-day(d-1)
+            if all(isinstance(s, EntitySource) for s in gb.sources):
+                part_df = _snapshot_entities_part(spark, gb, num_partitions)
+            else:
+                part_df = _snapshot_events_part(spark, gb, left, mapping,
+                                                num_partitions)
+            key_cols = list(gb.key_columns) + ["__day"]
+        else:
+            part_df = pit_join.compute_group_by(
+                spark,
+                gb,
+                left,
+                row_id=ROW_ID,
+                key_mapping=mapping,
+                query_time_col=pit_join.TS_COL,
+                num_partitions=num_partitions,
+            )
+            key_cols = [ROW_ID]
+        renames = {c: f"{prefix}_{c}" for c in part_df.columns
+                   if c not in key_cols}
         for old, new in renames.items():
             part_df = part_df.withColumnRenamed(old, new)
         # coalescedJoin: on collision prefer the already-present (bootstrap)
@@ -132,7 +194,21 @@ def compute_join(
         collisions = [c for c in renames.values() if c in out.columns]
         for c in collisions:
             part_df = part_df.withColumnRenamed(c, f"__fresh_{c}")
-        out = out.join(part_df, ROW_ID, "left")
+        if gb.accuracy == Accuracy.SNAPSHOT:
+            # join on (mapped keys, ts-day): null-safe on keys so a
+            # null-keyed left row behaves like the TEMPORAL path (features
+            # stay null via the left join)
+            left_col = {r: l for l, r in mapping.items()}
+            pk = {c: f"__pk_{i}" for i, c in enumerate(key_cols)}
+            for c, a in pk.items():
+                part_df = part_df.withColumnRenamed(c, a)
+            lday = (out[pit_join.TS_COL] / MS_DAY).cast("long")
+            cond = lday == part_df[pk["__day"]]
+            for r in gb.key_columns:
+                cond = cond & out[left_col.get(r, r)].eqNullSafe(part_df[pk[r]])
+            out = out.join(part_df, cond, "left").drop(*pk.values())
+        else:
+            out = out.join(part_df, ROW_ID, "left")
         for c in collisions:
             out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__fresh_{c}"))).drop(f"__fresh_{c}")
 

@@ -145,6 +145,23 @@ def render_source(
         df = compute_join(spark, src.join)
     else:
         df = _read_table(spark, src.table)
+        if getattr(src, "is_cumulative", False):
+            # cumulative tables: every ds partition is the full history up
+            # to that day — scan ONLY the latest partition or aggregates
+            # double-count (GroupBy.scala:759-764 SourceDataProfile
+            # latestValid). The max-partition lookup is one scalar over the
+            # partition column (directory-listing metadata for partitioned
+            # parquet; a catalog.list_partitions call for warehouse tables).
+            pcol = src.partition_column
+            if pcol not in df.columns:
+                raise ValueError(
+                    f"cumulative source '{src.table}' has no partition "
+                    f"column '{pcol}' — cannot pick the latest partition")
+            latest = df.agg(F.max(F.col(pcol))).collect()[0][0]
+            if latest is None:
+                raise ValueError(
+                    f"cumulative source '{src.table}' has no partitions")
+            df = df.where(F.col(pcol) == F.lit(latest))
     for w in src.query.wheres:
         df = df.where(w)
     time_expr = F.expr(src.query.time_column)
