@@ -383,7 +383,8 @@ def scaling_probe(cpus: int, reps: int = 3, pause: float = 0.0) -> None:
     import pyarrow.dataset as ds
 
     sf = _sf_from_dir(SF_DIR)
-    tpath = transcripts_path(sf * 8)
+    mult = float(os.environ.get("SPARK_GRAFT_PROBE_MULT", "8"))
+    tpath = transcripts_path(sf * mult)
     n_turns = ds.dataset(tpath).count_rows()
     spark = _new_spark(cpus)
     _warm(spark, tpath)

@@ -98,3 +98,42 @@ def test_fetch_unseen_key(spark, events):
     upload_batch_state(kv, spark, gb, BASE + 86_400_000)
     got = Fetcher(kv, gb).fetch(("nope",))
     assert all(v is None for v in got.values())
+
+
+def test_dirkv_executor_path_parity(spark, events, tmp_path):
+    """The DISTRIBUTED sink (KvStore.write_rows default: executor-side
+    mapPartitions, no driver collect) must land byte-identical state to the
+    in-memory collecting adapter, and serve identical fetches."""
+    from zipline_chronon_spark.online.kv import DirKv
+
+    gb = _gb()
+    t0 = ((BASE + 86_400_000) // HOP) * HOP
+    t1 = t0 + 10 * 3_600_000
+
+    mem = InMemoryKv()
+    upload_batch_state(mem, spark, gb, t0)
+    upload_stream_events(mem, spark, gb, t0, t1)
+
+    dkv = DirKv(str(tmp_path / "kv"))
+    n_rows = upload_batch_state(dkv, spark, gb, t0)
+    n_ev = upload_stream_events(dkv, spark, gb, t0, t1)
+    assert n_rows > 6 and n_ev > 0
+
+    # batch + tile datasets byte-identical (event keys embed a plan-unique
+    # seq, so compare their value payloads as multisets)
+    for ds in (f"{gb.name}__batch", f"{gb.name}__tiles", f"{gb.name}__meta"):
+        assert dict(dkv.scan(ds)) == mem.data.get(ds, {}), ds
+    ev_ds = f"{gb.name}__events"
+    assert sorted(v for _, v in dkv.scan(ev_ds)) == sorted(mem.data[ev_ds].values())
+
+    fm, fd = Fetcher(mem, gb), Fetcher(dkv, gb)
+    for key in ["0", "1", "2", "3", "4", "5", "nope"]:
+        a, b = fd.fetch((key,), at_ts_ms=t1), fm.fetch((key,), at_ts_ms=t1)
+        assert a.keys() == b.keys(), key
+        for c in a:
+            # scan order differs (sha-sorted files vs insertion): float IR
+            # merges may differ by summation-order ulps, nothing else
+            if isinstance(a[c], float) and isinstance(b[c], float):
+                assert abs(a[c] - b[c]) < 1e-6 + 1e-9 * abs(b[c]), (key, c)
+            else:
+                assert a[c] == b[c], (key, c)

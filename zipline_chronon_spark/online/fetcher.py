@@ -189,34 +189,33 @@ def _encode(row: dict, parts) -> bytes:
 def upload_batch_state(kv: KvStore, spark: SparkSession, gb: GroupBy,
                        batch_end_ms: int) -> int:
     """GroupByUpload: collapsed IR per key (events too old for any window
-    tail) + tail-hop tiles covering [tile_floor, batch_end]."""
+    tail) + tail-hop tiles covering [tile_floor, batch_end]. IR rows stream
+    into the KV seam from the executors (KvStore.write_rows); only the two
+    tiny meta rows are written driver-side."""
     from zipline_chronon_spark.operators import pit_join
 
     parts = _parts(gb)
     hop = _tile_hop(gb)
     floor = _tile_floor(gb, batch_end_ms)
     ev = _events(spark, gb, None, batch_end_ms)
-    n = 0
+    keys = list(gb.key_columns)
+    batch_ds, tile_ds = f"{gb.name}__batch", f"{gb.name}__tiles"
+
+    def enc_batch(d: dict) -> tuple[str, bytes, bytes]:
+        return (batch_ds, key_bytes(tuple(d[k] for k in keys)), _encode(d, parts))
+
+    def enc_tile(d: dict) -> tuple[str, bytes, bytes]:
+        key = (key_bytes(tuple(d[k] for k in keys))
+               + b"|" + str(d["__tile"]).encode())
+        return (tile_ds, key, _encode(d, parts))
+
     if floor is None:  # unbounded-only: one collapsed row per key
-        for r in _ir_rows(ev, gb).collect():
-            d = r.asDict()
-            kv.put(f"{gb.name}__batch",
-                   key_bytes(tuple(d[k] for k in gb.key_columns)), _encode(d, parts))
-            n += 1
+        n = kv.write_rows(_ir_rows(ev, gb), enc_batch)
     else:
         old = ev.where(F.col(pit_join.TS_COL) < floor)
         recent = ev.where(F.col(pit_join.TS_COL) >= floor)
-        for r in _ir_rows(old, gb).collect():
-            d = r.asDict()
-            kv.put(f"{gb.name}__batch",
-                   key_bytes(tuple(d[k] for k in gb.key_columns)), _encode(d, parts))
-            n += 1
-        for r in _ir_rows(recent, gb, tile_hop=hop).collect():
-            d = r.asDict()
-            key = (key_bytes(tuple(d[k] for k in gb.key_columns))
-                   + b"|" + str(d["__tile"]).encode())
-            kv.put(f"{gb.name}__tiles", key, _encode(d, parts))
-            n += 1
+        n = kv.write_rows(_ir_rows(old, gb), enc_batch)
+        n += kv.write_rows(_ir_rows(recent, gb, tile_hop=hop), enc_tile)
     kv.put(f"{gb.name}__meta", b"batch_end_ms", str(batch_end_ms).encode())
     kv.put(f"{gb.name}__meta", b"tile_floor", str(floor if floor is not None else -1).encode())
     return n
@@ -230,16 +229,23 @@ def upload_stream_events(kv: KvStore, spark: SparkSession, gb: GroupBy,
 
     parts = _parts(gb)
     inputs = sorted({p.input_column for p in parts})
+    keys = list(gb.key_columns)
     ev = _events(spark, gb, lo_ms + 1, hi_ms)
-    rows = ev.select(*gb.key_columns, pit_join.TS_COL, *inputs).collect()
-    for i, r in enumerate(rows):
-        d = r.asDict()
-        key = (key_bytes(tuple(d[k] for k in gb.key_columns))
-               + b"|" + str(d[pit_join.TS_COL]).encode() + b"|" + str(i).encode())
-        kv.put(f"{gb.name}__events", key,
-               json.dumps({"ts": d[pit_join.TS_COL],
-                           **{c: d[c] for c in inputs}}, default=float).encode())
-    return len(rows)
+    # __seq only disambiguates duplicate (key, ts) rows in the KV key; any
+    # plan-unique id works
+    rows = (ev.select(*keys, pit_join.TS_COL, *inputs)
+            .withColumn("__seq", F.monotonically_increasing_id()))
+    events_ds = f"{gb.name}__events"
+    ts_col = pit_join.TS_COL
+
+    def enc_event(d: dict) -> tuple[str, bytes, bytes]:
+        key = (key_bytes(tuple(d[k] for k in keys))
+               + b"|" + str(d[ts_col]).encode() + b"|" + str(d["__seq"]).encode())
+        return (events_ds, key,
+                json.dumps({"ts": d[ts_col],
+                            **{c: d[c] for c in inputs}}, default=float).encode())
+
+    return kv.write_rows(rows, enc_event)
 
 
 class Fetcher:

@@ -113,6 +113,89 @@ def render_left(spark: SparkSession, src: EventSource) -> DataFrame:
     return df.select(*cols, ts_ms.alias(pit_join.TS_COL))
 
 
+def compute_part(
+    spark: SparkSession,
+    part,
+    left: DataFrame,
+    skew_keys: tuple = (),
+    num_partitions: Optional[int] = None,
+    time_range_ms: Optional[tuple] = None,
+) -> tuple[DataFrame, list[str]]:
+    """One join part against a prepared left (must carry ROW_ID, TS_COL and
+    the mapped key columns). Feature columns come back prefixed
+    ``{prefix}_{group_by}_{col}``. Returns (part_df, join_key_cols):
+    TEMPORAL parts are keyed [ROW_ID]; SNAPSHOT parts are keyed
+    [*right keys, '__day'] (join with attach_part). Shared by compute_join
+    and the resumable JoinBackfill (plans/join_backfill.py) so the two
+    paths cannot drift semantically."""
+    import dataclasses
+
+    gb = part.group_by
+    mapping = part.left_to_right()
+    # push skew exclusion to the right side too (maps left col -> right key)
+    extra_wheres = []
+    for col, values in skew_keys:
+        rcol = mapping.get(col, col)
+        if rcol in gb.key_columns:
+            extra_wheres.append(skew_filter(rcol, values))
+    if extra_wheres:
+        gb = dataclasses.replace(
+            gb,
+            sources=tuple(
+                dataclasses.replace(
+                    s, query=dataclasses.replace(s.query, wheres=s.query.wheres + tuple(extra_wheres))
+                )
+                for s in gb.sources
+            ),
+        )
+    if gb.accuracy == Accuracy.SNAPSHOT:
+        # day-keyed snapshot cell: features anchored at end-of-day(d-1)
+        if all(isinstance(s, EntitySource) for s in gb.sources):
+            part_df = _snapshot_entities_part(spark, gb, num_partitions)
+        else:
+            part_df = _snapshot_events_part(spark, gb, left, mapping,
+                                            num_partitions)
+        key_cols = list(gb.key_columns) + ["__day"]
+    else:
+        part_df = pit_join.compute_group_by(
+            spark,
+            gb,
+            left,
+            row_id=ROW_ID,
+            key_mapping=mapping,
+            query_time_col=pit_join.TS_COL,
+            num_partitions=num_partitions,
+            time_range_ms=time_range_ms,
+        )
+        key_cols = [ROW_ID]
+    prefix = part.full_prefix
+    for c in list(part_df.columns):
+        if c not in key_cols:
+            part_df = part_df.withColumnRenamed(c, f"{prefix}_{c}")
+    return part_df, key_cols
+
+
+def attach_part(out: DataFrame, part_df: DataFrame, key_cols: list[str],
+                mapping: dict[str, str]) -> DataFrame:
+    """Left-join a computed part onto a frame carrying ROW_ID + TS_COL +
+    the left key columns. SNAPSHOT parts join on (mapped keys, ts-day) —
+    null-safe on keys so a null-keyed left row behaves like the TEMPORAL
+    path (features stay null via the left join)."""
+    if key_cols == [ROW_ID]:
+        return out.join(part_df, ROW_ID, "left")
+    left_col = {r: l for l, r in mapping.items()}
+    pk = {c: f"__pk_{i}" for i, c in enumerate(key_cols)}
+    for c, a in pk.items():
+        part_df = part_df.withColumnRenamed(c, a)
+    lday = (out[pit_join.TS_COL] / MS_DAY).cast("long")
+    cond = lday == part_df[pk["__day"]]
+    for r in key_cols:
+        if r == "__day":
+            continue
+        cond = cond & out[left_col.get(r, r)].eqNullSafe(part_df[pk[r]])
+    return out.join(part_df, cond, "left").drop(*pk.values())
+
+
 def compute_join(
     spark: SparkSession,
     join: Join,
@@ -136,82 +219,50 @@ def compute_join(
 
     # bootstrap: pre-fill feature columns from precomputed tables; joined
     # FIRST so the coalesce below gives bootstrap values precedence
-    # (JoinBootstrapJob.scala; coveringSet semantics via coalesce)
+    # (JoinBootstrapJob.scala). Each table also leaves a hit marker so the
+    # covering-set logic below can SKIP recomputing fully-covered rows
+    # (Join.scala:130-193 matched_hashes semantics).
     out = left
-    for bp in join.bootstrap_parts:
+    bs_markers: list[tuple[str, set[str]]] = []
+    for i, bp in enumerate(join.bootstrap_parts):
         bdf = pit_join._read_table(spark, bp.table)
         for w in bp.wheres:
             bdf = bdf.where(w)
-        out = out.join(bdf, list(bp.key_columns), "left")
+        provided = set(bdf.columns) - set(bp.key_columns)
+        marker = f"__bs_hit_{i}"
+        out = out.join(bdf.withColumn(marker, F.lit(True)),
+                       list(bp.key_columns), "left")
+        bs_markers.append((marker, provided))
 
     for part in join.parts:
-        gb = part.group_by
-        # push skew exclusion to the right side too (maps left col -> right key)
-        mapping = part.left_to_right()
-        import dataclasses
-
-        extra_wheres = []
-        for col, values in join.skew_keys:
-            rcol = mapping.get(col, col)
-            if rcol in gb.key_columns:
-                extra_wheres.append(skew_filter(rcol, values))
-        if extra_wheres:
-            gb = dataclasses.replace(
-                gb,
-                sources=tuple(
-                    dataclasses.replace(
-                        s, query=dataclasses.replace(s.query, wheres=s.query.wheres + tuple(extra_wheres))
-                    )
-                    for s in gb.sources
-                ),
-            )
-        prefix = part.full_prefix
-        if gb.accuracy == Accuracy.SNAPSHOT:
-            # day-keyed snapshot cell: features anchored at end-of-day(d-1)
-            if all(isinstance(s, EntitySource) for s in gb.sources):
-                part_df = _snapshot_entities_part(spark, gb, num_partitions)
-            else:
-                part_df = _snapshot_events_part(spark, gb, left, mapping,
-                                                num_partitions)
-            key_cols = list(gb.key_columns) + ["__day"]
-        else:
-            part_df = pit_join.compute_group_by(
-                spark,
-                gb,
-                left,
-                row_id=ROW_ID,
-                key_mapping=mapping,
-                query_time_col=pit_join.TS_COL,
-                num_partitions=num_partitions,
-            )
-            key_cols = [ROW_ID]
-        renames = {c: f"{prefix}_{c}" for c in part_df.columns
-                   if c not in key_cols}
-        for old, new in renames.items():
-            part_df = part_df.withColumnRenamed(old, new)
+        # covering-set: a left row that matched a bootstrap table providing
+        # ALL of this part's output columns already has its values — feed
+        # only the uncovered rows to the part engine (correctness is
+        # unchanged; the win is skipped compute when coverage is high)
+        expected = {f"{part.full_prefix}_{ap.output_name}"
+                    for ap in part.group_by.parts()}
+        covering = [m for m, provided in bs_markers if expected <= provided]
+        part_left = left
+        if covering:
+            uncovered = F.lit(True)
+            for m in covering:
+                uncovered = uncovered & F.col(m).isNull()
+            part_left = (left.join(
+                out.select(ROW_ID, *covering), ROW_ID).where(uncovered)
+                .drop(*covering))
+        part_df, key_cols = compute_part(spark, part, part_left,
+                                         join.skew_keys, num_partitions)
         # coalescedJoin: on collision prefer the already-present (bootstrap)
         # value, else the freshly computed one (JoinUtils.scala:159-190)
-        collisions = [c for c in renames.values() if c in out.columns]
+        collisions = [c for c in part_df.columns
+                      if c not in key_cols and c in out.columns]
         for c in collisions:
             part_df = part_df.withColumnRenamed(c, f"__fresh_{c}")
-        if gb.accuracy == Accuracy.SNAPSHOT:
-            # join on (mapped keys, ts-day): null-safe on keys so a
-            # null-keyed left row behaves like the TEMPORAL path (features
-            # stay null via the left join)
-            left_col = {r: l for l, r in mapping.items()}
-            pk = {c: f"__pk_{i}" for i, c in enumerate(key_cols)}
-            for c, a in pk.items():
-                part_df = part_df.withColumnRenamed(c, a)
-            lday = (out[pit_join.TS_COL] / MS_DAY).cast("long")
-            cond = lday == part_df[pk["__day"]]
-            for r in gb.key_columns:
-                cond = cond & out[left_col.get(r, r)].eqNullSafe(part_df[pk[r]])
-            out = out.join(part_df, cond, "left").drop(*pk.values())
-        else:
-            out = out.join(part_df, ROW_ID, "left")
+        out = attach_part(out, part_df, key_cols, part.left_to_right())
         for c in collisions:
             out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__fresh_{c}"))).drop(f"__fresh_{c}")
 
+    out = out.drop(*[m for m, _ in bs_markers])
     if join.derivations:
         from zipline_chronon_spark.operators.derive import apply_derivations
 

@@ -81,11 +81,50 @@ def extract_media_metadata(
                 out[name] = meta_df.get(name)
             yield out
 
-    # size partitions so one task's blobs fit comfortably in memory
-    total = df.select(F.sum(F.length(binary_col))).collect()[0][0] or 0
+    # size partitions so one task's blobs fit comfortably in memory —
+    # from parquet FOOTER metadata (column-chunk sizes), not a data scan
+    # of every blob byte
+    src = df.select(*id_cols, binary_col)
+    total = _blob_bytes_from_metadata(src, binary_col)
+    if total is None:
+        # not a plain file scan (or non-parquet): keep the plan's own
+        # partitioning rather than paying a full blob pass just to count
+        return src.mapInPandas(run, schema=out_schema)
     n_parts = max(1, int(total // target_batch_bytes) + 1)
-    return df.select(*id_cols, binary_col).repartition(n_parts).mapInPandas(
-        run, schema=out_schema)
+    return src.repartition(n_parts).mapInPandas(run, schema=out_schema)
+
+
+def _blob_bytes_from_metadata(df: DataFrame, binary_col: str) -> Optional[int]:
+    """Total uncompressed bytes of ``binary_col`` summed from the parquet
+    footers of the plan's input files — a metadata-only read (footers are
+    KBs), vs the replaced F.sum(F.length(blob)) pre-scan which read every
+    blob byte once just to pick a partition count. Returns None when the
+    plan is not a simple file scan; filters make this an upper bound,
+    which is the safe direction for sizing."""
+    import pyarrow.parquet as pq
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        path = urlparse(f).path or f
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        found = False
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema == binary_col:
+                    total += col.total_uncompressed_size
+                    found = True
+        if not found:
+            return None
+    return total
 
 
 def frame_sample_stub(

@@ -456,6 +456,7 @@ def compute_group_by(
     num_partitions: Optional[int] = None,
     semi_filter: str = "semi_join",
     engine: str = "arrow",
+    time_range_ms: Optional[tuple[Optional[int], Optional[int]]] = None,
 ) -> DataFrame:
     """Enrich each query row (keys…, ts) with gb's features as of its ts.
 
@@ -476,7 +477,10 @@ def compute_group_by(
     inv = {r: l for l, r in key_mapping.items()}
     left_cols = {rk: inv.get(rk, rk) for rk in right_keys}
 
-    ev = events_df(spark, gb)
+    # time_range_ms bounds the RIGHT scan (chunked backfills pass
+    # [chunk_lo - max_window, chunk_hi) so each chunk reads only the events
+    # its windows can see — GroupBy.scala:741-788 getIntersectedRange)
+    ev = events_df(spark, gb, time_range_ms=time_range_ms)
     ev_schema = dict(zip(ev.schema.names, [f.dataType for f in ev.schema.fields]))
 
     q_time_dt = queries.select(F.expr(query_time_col).alias("t")).schema[0].dataType
