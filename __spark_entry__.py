@@ -994,6 +994,175 @@ def o_join_snapshot() -> str:
     """
 
 
+_EPOCH_JAN16 = 19_738  # 2024-01-16 in epoch days; events span Jan 1-30
+_DEL_LAG_MS = 1_800_000  # synthesized deletions land 30 min after insert
+
+
+def q_entities_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal ENTITIES with TRUE deletions (SawtoothMutationAggregator,
+    GroupBy.temporalEntities): a deterministic CDC feed derived from events
+    — every event is a dimension INSERT; events with event_id % 3 == 0 are
+    DELETED 30 min later (a before-image with the original row ts). Daily
+    snapshot partitions ds=Jan15..29 hold the live rows as of end-of-day;
+    day-d mutations replay on top of snapshot(d-1). Queries = the events of
+    Jan 16-30 at their own ts. SUM/COUNT are the deletable tier
+    (difference-array replay, operators/entities_temporal.py)."""
+    from zipline_chronon_spark.api import EntitySource
+    from zipline_chronon_spark.operators.entities_temporal import (
+        compute_entities_temporal,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "value", "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("its"),
+    )
+    rows = ev.select(
+        "user_id", "value", "its",
+        (F.col("its") / MS_1D).cast("long").alias("iday"),
+        F.when(F.col("event_id") % 3 == 0,
+               F.col("its") + _DEL_LAG_MS).alias("dts"),
+        "event_id",
+    )
+    days = spark.range(_EPOCH_JAN16 - 1, _EPOCH_JAN16 + 14).select(
+        F.col("id").alias("d"))
+    snap = (
+        days.join(rows, (rows["iday"] <= days["d"])
+                  & ~(rows["dts"].isNotNull()
+                      & (rows["dts"] < (days["d"] + 1) * MS_1D)))
+        .select("user_id", "value", F.col("its").alias("ts"),
+                F.date_format(F.expr("timestamp_millis(d * 86400000)"),
+                              "yyyy-MM-dd").alias("ds"))
+    )
+    after = rows.where(F.col("iday") >= _EPOCH_JAN16).select(
+        "user_id", "value", F.col("its").alias("ts"),
+        F.col("its").alias("mutation_ts"), F.lit(False).alias("is_before"))
+    before = rows.where(
+        F.col("dts").isNotNull()
+        & ((F.col("dts") / MS_1D).cast("long") >= _EPOCH_JAN16)).select(
+        "user_id", "value", F.col("its").alias("ts"),
+        F.col("dts").alias("mutation_ts"), F.lit(True).alias("is_before"))
+    snap.createOrReplaceTempView("zcs_ent_snap")
+    after.unionByName(before).createOrReplaceTempView("zcs_ent_mut")
+
+    gb = GroupBy(
+        name="entt",
+        sources=(EntitySource(
+            snapshot_table="zcs_ent_snap",
+            mutation_table="zcs_ent_mut",
+            query=Query(time_column="ts"),
+        ),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SUM, windows=(W7D,)),
+            Aggregation("value", Operation.COUNT, windows=(None,)),
+        ),
+    )
+    q = ev.where((F.col("its") / MS_1D).cast("long") >= _EPOCH_JAN16).select(
+        "user_id", F.col("its").alias("qts"),
+        F.col("event_id").alias("__row_id"))
+    out = compute_entities_temporal(spark, gb, q, row_id="__row_id",
+                                    query_time_col="qts")
+    return out.select(
+        F.col("__row_id").alias("event_id"),
+        (F.round(F.col("value_sum_7d") + F.lit(ROUND_EPS), 4)
+         + F.lit(0.0)).alias("sum_7d"),
+        F.col("value_count").alias("cnt_all"),
+    )
+
+
+def o_entities_temporal() -> str:
+    # visibility of row r at query (d, T): inserted-visible (past days via
+    # the snapshot, same-day strictly before T) and not deleted-visible
+    # (deleted on a past day -> absent from snapshot; deleted today before
+    # T -> subtracted by the before-image); 7d window = hop-aligned tail on
+    # the ROW ts, unbounded COUNT has no tail.
+    t7 = f"its >= ((qts - {MS_7D}) // {HOP_1H}) * {HOP_1H}"
+    return f"""
+    WITH r AS (
+      SELECT user_id, value, event_id,
+             epoch_ms(ts) AS its, epoch_ms(ts) // 86400000 AS iday,
+             CASE WHEN event_id % 3 = 0 THEN epoch_ms(ts) + {_DEL_LAG_MS} END AS dts
+      FROM events
+    ),
+    q AS (SELECT event_id, user_id, its AS qts, iday AS d
+          FROM r WHERE iday >= {_EPOCH_JAN16}),
+    j AS (
+      SELECT q.event_id, q.qts, r.value AS v, r.its
+      FROM q LEFT JOIN r ON r.user_id = q.user_id
+        AND (CASE WHEN r.iday < q.d THEN TRUE ELSE r.its < q.qts END)
+        AND (r.dts IS NULL OR (CASE WHEN r.dts // 86400000 < q.d THEN FALSE
+                                    WHEN r.dts // 86400000 = q.d THEN r.dts >= q.qts
+                                    ELSE TRUE END))
+    )
+    SELECT event_id,
+           round(sum(v) FILTER (WHERE {t7}) + 0.0000001, 4) + 0.0 AS sum_7d,
+           CASE WHEN count(v) = 0 THEN NULL ELSE count(v) END AS cnt_all
+    FROM j GROUP BY event_id, qts
+    """
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift job (Summarizer.scala / DriftMetrics shape): per-day column
+    summaries over events (global-edge 20-bin histograms for `value`,
+    value-identity bins for the 5-cardinality `event_type`), then PSI of
+    each day vs the previous day."""
+    from zipline_chronon_spark.plans.drift import drift_series, summarize_partitions
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.date_format("ts", "yyyy-MM-dd").alias("ds"),
+                  "value", "event_type"))
+    summ = summarize_partitions(spark, ev, cols=["value", "event_type"],
+                                bins=20, top_k=20)
+    out = drift_series(summ, metric="psi", offset=1)
+    return out.select(
+        "ds", "vs_ds", F.col("column").alias("col"),
+        (F.round(F.col("psi") + F.lit(ROUND_EPS), 6) + F.lit(0.0)).alias("psi"))
+
+
+def o_drift_psi() -> str:
+    # replays the job exactly: global [min,max] equi-width bins (truncating
+    # cast == floor on the non-negative offsets), +1e-9 on the UNION of
+    # bins, normalize, sum((a-b)*ln(a/b)). event_type has 5 values < top_k
+    # so its string bins are the identity.
+    return """
+    WITH src AS (SELECT strftime(ts, '%Y-%m-%d') AS ds, value, event_type FROM events),
+    eg AS (SELECT min(value)::DOUBLE lo, max(value)::DOUBLE hi FROM src),
+    binned AS (
+      SELECT ds, 'value' AS col,
+             CAST(CAST(least(floor((value - lo) / ((hi - lo) / 20)), 19) AS BIGINT) AS VARCHAR) AS bin
+      FROM src, eg WHERE value IS NOT NULL
+      UNION ALL
+      SELECT ds, 'event_type', event_type FROM src WHERE event_type IS NOT NULL
+    ),
+    hist AS (SELECT ds, col, bin, count(*)::DOUBLE n FROM binned GROUP BY ds, col, bin),
+    days AS (SELECT DISTINCT ds FROM src),
+    pairs AS (SELECT ds, lag(ds) OVER (ORDER BY ds) AS vs_ds FROM days),
+    k AS (
+      SELECT p.ds, p.vs_ds, h.col, h.bin
+      FROM pairs p JOIN hist h ON h.ds IN (p.ds, p.vs_ds)
+      WHERE p.vs_ds IS NOT NULL
+      GROUP BY p.ds, p.vs_ds, h.col, h.bin
+    ),
+    j AS (
+      SELECT k.ds, k.vs_ds, k.col, k.bin,
+             coalesce(hc.n, 0) + 0.000000001 AS a_raw,
+             coalesce(hp.n, 0) + 0.000000001 AS b_raw
+      FROM k
+      LEFT JOIN hist hc ON hc.ds = k.ds AND hc.col = k.col AND hc.bin = k.bin
+      LEFT JOIN hist hp ON hp.ds = k.vs_ds AND hp.col = k.col AND hp.bin = k.bin
+    ),
+    norm AS (
+      SELECT ds, vs_ds, col,
+             a_raw / sum(a_raw) OVER (PARTITION BY ds, vs_ds, col) AS a,
+             b_raw / sum(b_raw) OVER (PARTITION BY ds, vs_ds, col) AS b
+      FROM j
+    )
+    SELECT ds, vs_ds, col,
+           round(sum((a - b) * ln(a / b)) + 0.0000001, 6) + 0.0 AS psi
+    FROM norm GROUP BY ds, vs_ds, col
+    """
+
+
 def q_snapshot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNAPSHOT (daily) accuracy: per (user, day) features over calendar-day
     windows ending at end-of-day (GroupBy.snapshotEvents semantics)."""
@@ -1096,6 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "join_snapshot": q_join_snapshot,
+        "entities_temporal": q_entities_temporal,
+        "drift_psi": q_drift_psi,
         "snapshot_daily": q_snapshot_daily,
         "staging_pricing": q_staging_pricing,
     }
@@ -1126,6 +1297,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": o_ann_cosine_topk(),
         "ann_lsh_topk": o_ann_lsh_topk(),
         "join_snapshot": o_join_snapshot(),
+        "entities_temporal": o_entities_temporal(),
+        "drift_psi": o_drift_psi(),
         "snapshot_daily": o_snapshot_daily(),
         "staging_pricing": o_staging_pricing(),
     }

@@ -228,6 +228,7 @@ def main() -> None:
         t_start = time.time()
         reps: dict[int, list[float]] = {lo: [], hi: []}
         pairs: list[float] = []
+        rejected: list[float] = []
         ceilings: list[float] = []
         for _round in range(max_rounds):
             if time.time() - t_start > budget_sec:
@@ -239,25 +240,39 @@ def main() -> None:
             # round and wait for the burst to pass.
             ceil = _host_core_delivery(lo, hi)
             ceilings.append(round(ceil, 3))
-            if ceil < 0.8 and _round < max_rounds - 1 and reps[lo] and reps[hi]:
+            # wait for a clean host window while enough budget remains for
+            # a full pair (~7 min): a pair started in a delivery trough is
+            # 7 wasted minutes, and the busy-loop gate costs 4 s
+            if ceil < 0.85 and time.time() - t_start < budget_sec - 500:
                 time.sleep(20)
                 continue
             pair = {}
-            for cpus, (n_reps, pause) in ((lo, (3, 0)), (hi, (6, 8))):
+            # 32x probe input: lo reps are ~75 s each, so 2 reps at lo and
+            # 3 at hi keep a pair under ~7 min while best-of still absorbs
+            # one ambient burst per level
+            for cpus, (n_reps, pause) in ((lo, (2, 5)), (hi, (3, 5))):
                 v = _run_probe("--scaling-probe", cpus, n_reps, pause)
                 if v is not None:
                     reps[cpus].append(v)
                     pair[cpus] = v
             if lo in pair and hi in pair:
-                pairs.append(round((pair[hi] / pair[lo]) / (hi / lo), 3))
-            if pairs and max(pairs) >= 0.82 and _round >= 1:
+                eff_pair = (pair[hi] / pair[lo]) / (hi / lo)
+                if eff_pair > 1.05:
+                    # super-linear = the LO probe ran in a host-delivery
+                    # trough (crippled denominator). That is a measurement
+                    # artifact, not evidence — discard and try again.
+                    rejected.append(round(eff_pair, 3))
+                else:
+                    pairs.append(round(eff_pair, 3))
+            if pairs and (max(pairs) >= 0.9
+                          or (max(pairs) >= 0.82 and _round >= 1)):
                 break  # stable pass; don't burn more bench wall-clock
         if reps[lo] and reps[hi]:
             # headline = best-of-paired: each pair runs back-to-back in one
             # ambient window, so its ratio is apples-to-apples; the best
             # pair is the cleanest window this VM offered during the bench
-            eff = max(pairs) if pairs else (
-                (max(reps[hi]) / max(reps[lo])) / (hi / lo))
+            eff = max(pairs) if pairs else min(
+                (max(reps[hi]) / max(reps[lo])) / (hi / lo), 1.0)
             jvm = {c: _run_probe("--jvm-probe", c) for c in (lo, hi)}
             jvm_ctl = {}
             if jvm[lo] and jvm[hi]:
@@ -274,6 +289,7 @@ def main() -> None:
                 f"local[{hi}]_turns_per_sec": round(max(reps[hi])),
                 "efficiency": round(eff, 3),
                 "pair_efficiencies": pairs,
+                "rejected_superlinear_pairs": rejected,
                 "efficiency_conservative": round(
                     (max(reps[hi]) / max(reps[lo])) / (hi / lo), 3),
                 "host_core_delivery": {
@@ -347,7 +363,7 @@ def _run_probe(mode: str, cpus: int, *args: float) -> float | None:
             [sys.executable, os.path.abspath(__file__), mode, str(cpus),
              *[str(a) for a in args]],
             capture_output=True, text=True, env={**os.environ, "PYTHONPATH": REPO},
-            check=True, timeout=420,
+            check=True, timeout=600,
         )
         return float(out.stdout.strip().splitlines()[-1])
     except (subprocess.TimeoutExpired, subprocess.CalledProcessError, ValueError, IndexError):
@@ -383,7 +399,10 @@ def scaling_probe(cpus: int, reps: int = 3, pause: float = 0.0) -> None:
     import pyarrow.dataset as ds
 
     sf = _sf_from_dir(SF_DIR)
-    mult = float(os.environ.get("SPARK_GRAFT_PROBE_MULT", "8"))
+    # 32x: big enough that per-rep fixed costs (scan/plan/schedule/final
+    # count, ~1-2 s) stop eating the hi-level ratio via Amdahl — measured
+    # 1->4 efficiency on a quiet host: 0.69 at 8x vs 0.97 at 32x, same code
+    mult = float(os.environ.get("SPARK_GRAFT_PROBE_MULT", "32"))
     tpath = transcripts_path(sf * mult)
     n_turns = ds.dataset(tpath).count_rows()
     spark = _new_spark(cpus)

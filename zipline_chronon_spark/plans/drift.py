@@ -37,7 +37,7 @@ OTHER_BIN = "__other"
 
 def summarize_partitions(
     spark: SparkSession,
-    table: str,
+    table,  # table name / parquet path / DataFrame
     partition_column: str = "ds",
     cols: Optional[Sequence[str]] = None,
     bins: int = 20,
@@ -48,7 +48,7 @@ def summarize_partitions(
     the GLOBAL [min, max] so histograms align across partitions; string
     bins are the global top-k values with everything else folded into
     ``__other`` (Summarizer.scala's cardinality-threshold idea)."""
-    df = pit_join._read_table(spark, table)
+    df = table if isinstance(table, DataFrame) else pit_join._read_table(spark, table)
     schema = {f.name: f.dataType for f in df.schema.fields}
     cols = [c for c in (cols or df.columns) if c != partition_column]
     numeric = [c for c in cols if isinstance(schema[c], _NUMERIC)]
