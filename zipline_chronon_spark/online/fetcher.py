@@ -274,71 +274,91 @@ class Fetcher:
             e = json.loads(v)
             if e["ts"] <= T:
                 events.append(e)
-        out = {}
-        for p in self.parts:
-            irs = []
-            if p.window is None:
-                if collapsed is not None:
-                    irs.append(collapsed)
-                irs.extend(ir for _, ir in tiles)
-                evs = events
-            else:
-                hop = p.window.tail_hop_millis()
-                tail = ((T - p.window.millis) // hop) * hop
-                irs.extend(ir for hs, ir in tiles if hs >= tail)
-                evs = [e for e in events if e["ts"] >= tail]
-            out[p.output_name] = self._finalize(p, irs, evs)
-        return out
+        return merge_state(self.parts, collapsed, tiles, events, T)
 
-    # -- per-op merge + head-event update + finalize -------------------------
-    def _finalize(self, p, irs: list[dict], evs: list[dict]):
-        nm, op, col = p.output_name, p.operation, p.input_column
-        vals = [e[col] for e in evs if e.get(col) is not None]
-        if op in SKETCH_OPS:
-            sk = None
-            for ir in irs:
-                raw = ir.get(f"{nm}__sk")
-                if raw is None:
-                    continue
-                cur = _sketch_cls(op).from_bytes(base64.b64decode(raw))
-                sk = cur if sk is None else sk.merge(cur)
-            if vals:
-                sk = sk or _new_sketch(op)
-                sk.update(vals)
-            if sk is None:
-                return None
-            if op == Operation.APPROX_UNIQUE_COUNT:
-                return int(round(sk.estimate()))
-            if op in _FREQ:
-                return sk.top_k(p.k or 1,
-                                no_false_positives=op == Operation.APPROX_HEAVY_HITTERS_K)
-            pcts = [float(x) for x in
-                    p.args.get("percentiles", "[0.5]").strip("[] ").split(",")]
-            return sk.quantiles(pcts)
 
-        have = [ir for ir in irs if any(k.startswith(f"{nm}__") for k in ir)]
-        if not have and not vals:
+def merge_state(parts, collapsed: Optional[dict],
+                tiles: list[tuple[int, dict]], events: list[dict],
+                T: int) -> dict:
+    """The sawtooth lambda merge: collapsed IR + per-hop tiles (each tile
+    fully below the head) + raw head events, per part honoring its own
+    hop-aligned window tail. Shared by the online Fetcher and the batch
+    sketch engine (operators/approx_engine.py) so offline == online is
+    true by construction."""
+    out = {}
+    for p in parts:
+        irs = []
+        if p.window is None:
+            if collapsed is not None:
+                irs.append(collapsed)
+            irs.extend(ir for _, ir in tiles)
+            evs = events
+        else:
+            hop = p.window.tail_hop_millis()
+            tail = ((T - p.window.millis) // hop) * hop
+            irs.extend(ir for hs, ir in tiles if hs >= tail)
+            evs = [e for e in events if e["ts"] >= tail]
+        out[p.output_name] = finalize_part(p, irs, evs)
+    return out
+
+
+def _sketch_bytes(raw) -> Optional[bytes]:
+    if raw is None:
+        return None
+    if isinstance(raw, str):  # KV tier stores b64-in-JSON
+        return base64.b64decode(raw)
+    return bytes(raw)  # Spark binary column
+
+
+def finalize_part(p, irs: list[dict], evs: list[dict]):
+    """Per-op merge + head-event update + finalize of one part."""
+    nm, op, col = p.output_name, p.operation, p.input_column
+    vals = [e[col] for e in evs if e.get(col) is not None]
+    if op in SKETCH_OPS:
+        sk = None
+        for ir in irs:
+            raw = _sketch_bytes(ir.get(f"{nm}__sk"))
+            if raw is None:
+                continue
+            cur = _sketch_cls(op).from_bytes(raw)
+            sk = cur if sk is None else sk.merge(cur)
+        if vals:
+            sk = sk or _new_sketch(op)
+            sk.update(vals)
+        if sk is None:
             return None
-        if op == Operation.SUM:
-            return sum(ir.get(f"{nm}__sum", 0) for ir in have) + sum(vals)
-        if op == Operation.COUNT:
-            return sum(ir.get(f"{nm}__count", 0) for ir in have) + len(vals)
-        if op == Operation.AVERAGE:
-            s = sum(ir.get(f"{nm}__sum", 0) for ir in have) + sum(vals)
-            c = sum(ir.get(f"{nm}__count", 0) for ir in have) + len(vals)
-            return s / c if c else None
-        if op == Operation.MIN:
-            cands = [ir[f"{nm}__min"] for ir in have if f"{nm}__min" in ir] + vals
-            return min(cands) if cands else None
-        if op == Operation.MAX:
-            cands = [ir[f"{nm}__max"] for ir in have if f"{nm}__max" in ir] + vals
-            return max(cands) if cands else None
-        # FIRST / LAST: (ts, value) arg-extremes; head events carry their ts
-        pairs = [(ir[f"{nm}__ts"], ir[f"{nm}__v"]) for ir in have
-                 if ir.get(f"{nm}__ts") is not None and f"{nm}__v" in ir]
-        pairs += [(e["ts"], e[col]) for e in evs if e.get(col) is not None]
-        if not pairs:
-            return None
-        if op == Operation.FIRST:
-            return min(pairs, key=lambda t: t[0])[1]
-        return max(pairs, key=lambda t: t[0])[1]
+        if op == Operation.APPROX_UNIQUE_COUNT:
+            return int(round(sk.estimate()))
+        if op in _FREQ:
+            return sk.top_k(p.k or 1,
+                            no_false_positives=op == Operation.APPROX_HEAVY_HITTERS_K)
+        pcts = [float(x) for x in
+                p.args.get("percentiles", "[0.5]").strip("[] ").split(",")]
+        return sk.quantiles(pcts)
+
+    have = [ir for ir in irs if any(k.startswith(f"{nm}__") for k in ir)]
+    if not have and not vals:
+        return None
+    if op == Operation.SUM:
+        return sum(ir.get(f"{nm}__sum", 0) for ir in have) + sum(vals)
+    if op == Operation.COUNT:
+        return sum(ir.get(f"{nm}__count", 0) for ir in have) + len(vals)
+    if op == Operation.AVERAGE:
+        s = sum(ir.get(f"{nm}__sum", 0) for ir in have) + sum(vals)
+        c = sum(ir.get(f"{nm}__count", 0) for ir in have) + len(vals)
+        return s / c if c else None
+    if op == Operation.MIN:
+        cands = [ir[f"{nm}__min"] for ir in have if f"{nm}__min" in ir] + vals
+        return min(cands) if cands else None
+    if op == Operation.MAX:
+        cands = [ir[f"{nm}__max"] for ir in have if f"{nm}__max" in ir] + vals
+        return max(cands) if cands else None
+    # FIRST / LAST: (ts, value) arg-extremes; head events carry their ts
+    pairs = [(ir[f"{nm}__ts"], ir[f"{nm}__v"]) for ir in have
+             if ir.get(f"{nm}__ts") is not None and f"{nm}__v" in ir]
+    pairs += [(e["ts"], e[col]) for e in evs if e.get(col) is not None]
+    if not pairs:
+        return None
+    if op == Operation.FIRST:
+        return min(pairs, key=lambda t: t[0])[1]
+    return max(pairs, key=lambda t: t[0])[1]
