@@ -178,6 +178,15 @@ def minhash_lsh_pairs(
     exact_dup_groups — and its within-bucket join goes quadratic)."""
     df = _fan_out(df, id_col)
     sig = minhash_signature(df, id_col, text_col, n, num_hashes)
+    # the signature subplan otherwise appears once PER BAND in the physical
+    # plan (md5 + k salted mins recomputed 4x). `.persist()` measured
+    # SLOWER here (InMemoryRelation blocks broadcast/codegen downstream),
+    # but localCheckpoint halves wall time (12.6->5.2 s cold, 4.6->2.7 s
+    # warm at sf0.1): lineage truncation without the cache-plan boundary.
+    # Cluster caveat: localCheckpoint pins blocks to executor-local storage
+    # (executor loss = job retry); at real scale materialize the signature
+    # TABLE through the catalog instead — it is a useful artifact anyway.
+    sig = sig.localCheckpoint(eager=False)
     bands = sig.select(
         id_col,
         F.explode(F.array(*[
@@ -186,11 +195,6 @@ def minhash_lsh_pairs(
             for bi in range(num_hashes // band_size)
         ])).alias("band_key"),
     )
-    # NB: tempting to persist bands here (the signature subplan appears 4x
-    # in the physical plan) — measured SLOWER on this Spark version: the
-    # InMemoryRelation boundary blocks broadcast/codegen downstream and the
-    # recomputation is cheaper than the cache penalty. At real scale,
-    # CHECKPOINT the signature table instead (it is also a useful artifact).
     if max_bucket is not None:
         hot = (bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bn"))
                .where(F.col("bn") > max_bucket).select("band_key"))
