@@ -304,6 +304,69 @@ class BootstrapPart:
 
 
 @dataclass(frozen=True)
+class ExternalSource:
+    """A feature source served by a user-registered handler at FETCH time
+    (api.thrift:164-168: name + key/value schemas). The engine never
+    computes these; it routes key values to the handler and merges the
+    response (online/fetcher.py JoinFetcher)."""
+
+    name: str
+    key_columns: tuple[str, ...]
+    value_columns: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class ExternalPart:
+    """External source attached to a Join — ONLINE ONLY (api.thrift:390-396
+    + :419-421: 'Offline this will not produce any values'; offline
+    backfills fill these columns via bootstrap tables). Column naming:
+    ``{prefix}_ext_{source_name}_{value_column}`` (api.thrift:434-436)."""
+
+    source: ExternalSource
+    key_mapping: tuple[tuple[str, str], ...] = ()  # left col -> source key
+    prefix: Optional[str] = None
+
+    def column_name(self, value_col: str) -> str:
+        base = f"ext_{_clean(self.source.name)}_{value_col}"
+        return f"{_clean(self.prefix)}_{base}" if self.prefix else base
+
+    def left_to_right(self) -> dict[str, str]:
+        return dict(self.key_mapping)
+
+
+@dataclass(frozen=True)
+class Model:
+    """A transform applied to source rows to produce model-output columns
+    (api.thrift Model/ModelTransforms). ``transform`` is a picklable
+    callable mapping a pandas DataFrame (the source's columns) to a pandas
+    DataFrame of ``output_columns`` — the vectorized-inference contract
+    (real deployments wrap an ONNX/torch session the same way)."""
+
+    name: str
+    output_columns: tuple[str, ...]
+    transform: object  # Callable[[pd.DataFrame], pd.DataFrame]
+    output_types: tuple[str, ...] = ()  # Spark type strings; default double
+
+
+@dataclass(frozen=True)
+class ModelTransforms:
+    """Model-enriched source (api.thrift:606-617, Source union :186-196):
+    the underlying sources' rows plus each model's output columns; usable
+    anywhere an EventSource is (GroupBy input, chaining). Offline the
+    models run inline as Arrow-batched transforms; online the same
+    callables serve in the streaming path."""
+
+    sources: tuple[EventSource, ...]
+    models: tuple[Model, ...]
+    passthrough_fields: tuple[str, ...] = ()
+    name: str = "model_transform"
+    # wrapper-level Query applied AFTER enrichment (time_column/wheres may
+    # reference model output columns); the inner sources' own queries
+    # apply at their scans as usual
+    query: Query = field(default_factory=Query)
+
+
+@dataclass(frozen=True)
 class Join:
     """Left source enriched point-in-time-correctly with join parts.
     api.thrift:407-440."""
@@ -315,3 +378,4 @@ class Join:
     derivations: tuple[Derivation, ...] = ()
     row_ids: tuple[str, ...] = ()
     bootstrap_parts: tuple[BootstrapPart, ...] = ()
+    online_external_parts: tuple[ExternalPart, ...] = ()

@@ -23,9 +23,9 @@ IRs: scalars (sum / count / (sum,count) / min / max / (ts,value)
 arg-extremes) and sketch bytes (HLL / KLL / Misra-Gries) — all
 associative, so tile merge order never matters.
 
-Upload collects IR rows to the driver before kv.put — correct for the
-in-memory store; against a real KV the same rows stream out via
-foreachPartition with identical bytes. Parity oracle
+Upload streams IR rows into the KV seam from the executors
+(KvStore.write_rows; the in-memory test store overrides with a documented
+driver-side collecting adapter — same bytes either way). Parity oracle
 (tests/test_fetcher.py): fetch at T1 == compute_key_states at T1.
 """
 
@@ -362,3 +362,40 @@ def finalize_part(p, irs: list[dict], evs: list[dict]):
     if op == Operation.FIRST:
         return min(pairs, key=lambda t: t[0])[1]
     return max(pairs, key=lambda t: t[0])[1]
+
+
+class JoinFetcher:
+    """Online serving of a full Join: per-part GroupBy fetchers (prefixed
+    like the offline merge) + onlineExternalParts routed to user-registered
+    handlers (api.thrift:419-421 — external parts are fetch-time only; the
+    offline backfill fills those columns from bootstrap tables).
+
+    ``external_handlers`` maps ExternalSource.name -> callable taking a
+    {key_column: value} dict and returning a {value_column: value} dict
+    (the reference's ExternalSourceHandler.fetch shape)."""
+
+    def __init__(self, kv: KvStore, join, external_handlers: Optional[dict] = None):
+        self.join = join
+        self.part_fetchers = [(p, Fetcher(kv, p.group_by)) for p in join.parts]
+        self.external_handlers = external_handlers or {}
+        for ep in join.online_external_parts:
+            if ep.source.name not in self.external_handlers:
+                raise ValueError(
+                    f"no handler registered for external source "
+                    f"'{ep.source.name}' (have: {sorted(self.external_handlers)})")
+
+    def fetch_join(self, left_row: dict, at_ts_ms: Optional[int] = None) -> dict:
+        out = {}
+        for part, f in self.part_fetchers:
+            inv = {r: l for l, r in part.key_mapping}
+            keys = tuple(left_row.get(inv.get(r, r))
+                         for r in part.group_by.key_columns)
+            vals = f.fetch(keys, at_ts_ms=at_ts_ms)
+            out.update({f"{part.full_prefix}_{nm}": v for nm, v in vals.items()})
+        for ep in self.join.online_external_parts:
+            inv = {r: l for l, r in ep.key_mapping}
+            req = {k: left_row.get(inv.get(k, k)) for k in ep.source.key_columns}
+            resp = self.external_handlers[ep.source.name](req) or {}
+            for c in ep.source.value_columns:
+                out[ep.column_name(c)] = resp.get(c)
+        return out

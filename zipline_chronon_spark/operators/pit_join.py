@@ -118,6 +118,44 @@ def _time_to_millis(col: F.Column, dt: T.DataType) -> F.Column:
     raise TypeError(f"unsupported time column type {dt}")
 
 
+def render_model_transform(spark: SparkSession, mt) -> DataFrame:
+    """ModelTransforms (api.thrift:606-617): scan the inner source, run
+    each model's vectorized transform over Arrow batches (mapInPandas —
+    the real-deployment shape wraps an ONNX/torch session in the same
+    callable), emit passthrough fields + model output columns. The
+    wrapper's own Query (time/wheres) is applied by render_source on the
+    enriched rows, so model outputs can be filtered/timestamped on."""
+    assert len(mt.sources) == 1, "ModelTransforms v1 supports one inner source"
+    (inner,) = mt.sources
+    df = _read_table(spark, inner.table)
+    for w in inner.query.wheres:
+        df = df.where(w)
+    if inner.query.selects:
+        df = df.select(*[F.expr(e).alias(n)
+                         for n, e in inner.query.selects.items()])
+    passthrough = list(mt.passthrough_fields) or list(df.columns)
+    from pyspark.sql.types import _parse_datatype_string
+
+    fields = [df.schema[c] for c in passthrough]
+    for m in mt.models:
+        types = m.output_types or ("double",) * len(m.output_columns)
+        for c, t in zip(m.output_columns, types):
+            fields.append(T.StructField(c, _parse_datatype_string(t), True))
+    out_schema = T.StructType(fields)
+    models = list(mt.models)
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf[passthrough].copy()
+            for m in models:
+                res = m.transform(pdf)
+                for c in m.output_columns:
+                    out[c] = res[c].to_numpy() if hasattr(res[c], "to_numpy") else res[c]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def render_source(
     spark: SparkSession,
     src: EventSource,
@@ -135,7 +173,7 @@ def render_source(
     """
     for stmt in src.query.setups:
         spark.sql(stmt)
-    from zipline_chronon_spark.api import JoinSource
+    from zipline_chronon_spark.api import JoinSource, ModelTransforms
 
     if isinstance(src, JoinSource):
         # feature chaining: materialize the upstream join's logical plan
@@ -143,6 +181,11 @@ def render_source(
         from zipline_chronon_spark.operators.join import compute_join
 
         df = compute_join(spark, src.join)
+    elif isinstance(src, ModelTransforms):
+        # model-enriched source (api.thrift:606-617): underlying rows plus
+        # each model's output columns, computed inline as Arrow-batched
+        # vectorized inference (mapInPandas) — usable anywhere a source is
+        df = render_model_transform(spark, src)
     else:
         df = _read_table(spark, src.table)
         if getattr(src, "is_cumulative", False):
