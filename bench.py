@@ -201,15 +201,17 @@ def main() -> None:
 
     rows = flagship_backfill(spark, tpath)  # warm pass (plan + workers)
     assert rows == n_turns, (rows, n_turns)
-    t_flagship = best_of(lambda: flagship_backfill(spark, tpath))
+    t_flagship = best_of(lambda: flagship_backfill(spark, tpath), n=3)
     timings["flagship_pit_backfill"] = round(t_flagship, 3)
 
     if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") != "1":
-        # driver-facing queries on the events table
+        # driver-facing queries on the events table; best-of-2 so the
+        # first (cold: plan compile + python-worker spin-up) pass doesn't
+        # masquerade as steady-state
         import __spark_entry__ as entry_mod
 
         for name, fn in entry_mod.queries().items():
-            timings[name] = round(best_of(lambda: fn(spark, SF_DIR).count()), 3)
+            timings[name] = round(best_of(lambda: fn(spark, SF_DIR).count(), n=2), 3)
     spark.stop()
 
     # scaling: identical backfill at N vs 4N cores on the same input, each
@@ -247,10 +249,11 @@ def main() -> None:
                 time.sleep(20)
                 continue
             pair = {}
-            # 32x probe input: lo reps are ~75 s each, so 2 reps at lo and
-            # 3 at hi keep a pair under ~7 min while best-of still absorbs
-            # one ambient burst per level
-            for cpus, (n_reps, pause) in ((lo, (2, 5)), (hi, (3, 5))):
+            # 32x probe input: lo reps are ~75 s each. ONE timed lo rep
+            # (the warm pass already absorbed compile/worker startup)
+            # keeps a pair near ~4 min so ~5 attempts fit the budget —
+            # a burst-hit pair gets rejected/low and we just try again.
+            for cpus, (n_reps, pause) in ((lo, (1, 0)), (hi, (2, 5))):
                 v = _run_probe("--scaling-probe", cpus, n_reps, pause)
                 if v is not None:
                     reps[cpus].append(v)
@@ -271,6 +274,7 @@ def main() -> None:
             # headline = best-of-paired: each pair runs back-to-back in one
             # ambient window, so its ratio is apples-to-apples; the best
             # pair is the cleanest window this VM offered during the bench
+            fallback = not pairs
             eff = max(pairs) if pairs else min(
                 (max(reps[hi]) / max(reps[lo])) / (hi / lo), 1.0)
             jvm = {c: _run_probe("--jvm-probe", c) for c in (lo, hi)}
@@ -290,6 +294,7 @@ def main() -> None:
                 "efficiency": round(eff, 3),
                 "pair_efficiencies": pairs,
                 "rejected_superlinear_pairs": rejected,
+                "fallback_ratio_of_level_bests": fallback,
                 "efficiency_conservative": round(
                     (max(reps[hi]) / max(reps[lo])) / (hi / lo), 3),
                 "host_core_delivery": {
