@@ -123,3 +123,36 @@ def test_join_fetcher_external_parts(spark, events):
     out2 = jf.fetch_join({"k": "zzz"}, at_ts_ms=BASE + 86_400_000)
     assert out2["fx2_v_sum"] is None
     assert out2["ext_risk_api_segment"] == "szzz"
+
+
+def test_model_transform_on_streaming_df(spark, events, tmp_path_factory):
+    """apply_models runs UNCHANGED on a streaming DataFrame — the online
+    enrichment path uses the exact batch callables (no train/serve skew)."""
+    from zipline_chronon_spark.operators.pit_join import apply_models
+
+    base = tmp_path_factory.mktemp("mstream")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    sdf = spark.table("xm_events")
+    sdf.write.mode("overwrite").parquet(in_dir)
+
+    mt = ModelTransforms(
+        sources=(EventSource(table="xm_events", query=Query(time_column="ts_ms")),),
+        models=(Model(name="scorer", output_columns=("score",), transform=_score),),
+        passthrough_fields=("k", "ts_ms"),
+    )
+    stream = spark.readStream.schema(sdf.schema).parquet(in_dir)
+    enriched = apply_models(stream, mt)
+    assert enriched.isStreaming
+    q = (enriched.writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).toPandas().sort_values(
+        ["k", "ts_ms", "score"]).reset_index(drop=True)
+    exp = events.copy()
+    exp["score"] = exp["v"] * 2.0 + 1.0
+    exp = exp[["k", "ts_ms", "score"]].sort_values(
+        ["k", "ts_ms", "score"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["score"], exp["score"], atol=1e-9)

@@ -133,6 +133,14 @@ def render_model_transform(spark: SparkSession, mt) -> DataFrame:
     if inner.query.selects:
         df = df.select(*[F.expr(e).alias(n)
                          for n, e in inner.query.selects.items()])
+    return apply_models(df, mt)
+
+
+def apply_models(df: DataFrame, mt) -> DataFrame:
+    """Model enrichment over Arrow batches. Works UNCHANGED on a streaming
+    DataFrame (mapInPandas is supported in Structured Streaming), so the
+    online enrichment path runs the exact same callables as the batch
+    backfill — no train/serve skew by construction."""
     passthrough = list(mt.passthrough_fields) or list(df.columns)
     from pyspark.sql.types import _parse_datatype_string
 
