@@ -219,29 +219,34 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     the property; pairing is a bit_count(a ^ b) <= t self-join)."""
     # bit masks must be literals (shift-by-column is unsupported)
     masks = [1 << j for j in range(60)]
-    # explode tokens -> one md5-60 per token -> SIMD-in-a-register vote
-    # counting: 30 agg sums, each packing TWO 32-bit ones-counters (bit j's
-    # set-count in lanes of 32 bits), plus count(h) for the votes threshold
-    # (ones > n/2). 31 codegen'd agg buffers instead of 60 (60 separate sums
-    # blow the codegen method limit and fall back to interpreted updates).
+    # SHUFFLE-FREE vote counting: per row, the token array is hashed once
+    # (projection boundary pins the md5 pass), then 30 independent
+    # F.aggregate folds each accumulate TWO 32-bit ones-counters packed in
+    # one long (bits 2g and 2g+1). No explode, no Exchange, no 31-buffer
+    # hash-agg state — at 100 TB every doc's simhash is computed where the
+    # doc row sits and stays co-located for the band explode that follows.
+    # (A 31-field STRUCT accumulator in one F.aggregate blows up codegen —
+    # measured JVM-fatal — hence 30 scalar folds over the cached array.)
     # 32-bit lanes bound cross-lane carry at 2^31 whitespace tokens PER DOC
-    # (a ~10 GiB single document) and keep the per-group ANSI sum below
-    # 2^63 up to that same count; 16-bit lanes would overflow at 65k tokens.
-    toks = df.select(
-        F.col(id_col),
-        F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok"),
-    ).select(id_col,
-             F.when(F.col("__tok").isNotNull(), _h60(F.col("__tok"))).alias("__h"))
-    h = F.col("__h")
-    packed = []
-    for g in range(30):  # group g covers bits 2g..2g+1, one 32-bit lane each
-        term = F.lit(0).cast("long")
-        for lane in range(2):
-            j = 2 * g + lane
-            bit = F.shiftright(h, j).bitwiseAND(F.lit(1))
-            term = term + F.shiftleft(bit, 32 * lane)
-        packed.append(F.sum(F.when(h.isNull(), 0).otherwise(term)).alias(f"__p{g}"))
-    voted = toks.groupBy(id_col).agg(F.count("__h").alias("__n"), *packed)
+    # (a ~10 GiB single document) and keep the ANSI fold below 2^63 up to
+    # that same count; 16-bit lanes would overflow at 65k tokens.
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col), F.transform(toks, _h60).alias("__hs"))
+
+    def fold_group(g: int) -> "F.Column":
+        def upd(acc: "F.Column", h: "F.Column") -> "F.Column":
+            term = F.lit(0).cast("long")
+            for lane in range(2):
+                j = 2 * g + lane
+                term = term + F.shiftleft(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)), 32 * lane)
+            return acc + term
+
+        return F.aggregate(F.col("__hs"), F.lit(0).cast("long"), upd).alias(f"__p{g}")
+
+    voted = base.select(id_col, F.size("__hs").alias("__n"),
+                        *[fold_group(g) for g in range(30)])
     sim = F.lit(0).cast("long")
     n2 = F.col("__n")  # bit set iff ones-count*2 > n  <=>  votes > 0
     for g in range(30):
