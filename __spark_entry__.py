@@ -379,11 +379,14 @@ def q_pit_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                         arg_map=(("k", "2"),), windows=(W7D,)),
             Aggregation("value", Operation.UNIQUE_TOP_K,
                         arg_map=(("k", "3"),), windows=(W7D,)),
+            Aggregation("event_type", Operation.APPROX_HEAVY_HITTERS_K,
+                        arg_map=(("k", "2"),), windows=(W7D,)),
         ),
         {
             "event_type_histogram_7d": ("hist_raw", None),
             "event_type_approx_frequent_k_7d": ("freq_raw", None),
             "value_unique_top3_7d": ("utop_raw", None),
+            "event_type_approx_heavy_hitters_k_7d": ("hh_raw", None),
         },
     )
     return df.select(
@@ -391,6 +394,9 @@ def q_pit_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         _map_str("hist_raw", scaled=False).alias("hist_7d"),
         _map_str_ordered("freq_raw").alias("freq2_7d"),
         _arr_str("utop_raw").alias("utop3_7d"),
+        # batch-side the exact kernel serves both frequency policies (the
+        # NO_FALSE_* distinction only exists at the KV/sketch tier)
+        _map_str_ordered("hh_raw").alias("hh2_7d"),
     )
 
 
@@ -428,7 +434,8 @@ def o_pit_histogram() -> str:
              string_agg(et || ':' || cnt, ',' ORDER BY cnt DESC, et ASC) AS freq2_7d
       FROM r WHERE rk <= 2 GROUP BY event_id
     )
-    SELECT base.event_id, h.hist_7d, f.freq2_7d, base.utop3_7d
+    SELECT base.event_id, h.hist_7d, f.freq2_7d, base.utop3_7d,
+           f.freq2_7d AS hh2_7d
     FROM base LEFT JOIN h USING (event_id) LEFT JOIN f USING (event_id)
     """
 
