@@ -1001,6 +1001,78 @@ def o_join_snapshot() -> str:
     """
 
 
+def q_online_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The online serving tier end-to-end (GroupByUpload +
+    SawtoothOnlineAggregator analogue): batch IR upload at T0 (collapsed +
+    5m tail-hop tiles), raw stream events (T0, T1], then Fetcher lambda
+    merge at a NON-tile-aligned T1 for every key — offline==online parity
+    as a driver-gated oracle row, not just a pytest."""
+    from zipline_chronon_spark.api import TimeUnit, Window
+    from zipline_chronon_spark.online.fetcher import (
+        Fetcher, upload_batch_state, upload_stream_events)
+    from zipline_chronon_spark.online.kv import InMemoryKv
+
+    T0 = 19_747 * MS_1D                      # 2024-01-25 00:00 UTC
+    T1 = T0 + 10 * 3_600_000 + 420_000       # +10h07m, not tile-aligned
+    gb = GroupBy(
+        name="onl",
+        sources=(EventSource(
+            table=f"{sf_dir}/events.parquet",
+            query=Query(time_column="ts", wheres=("user_id < 100",),
+                        selects={"user_id": "user_id", "value": "value"}),
+        ),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SUM, windows=(W1D,)),
+            Aggregation("value", Operation.COUNT, windows=(None,)),
+            Aggregation("value", Operation.MAX,
+                        windows=(Window(6, TimeUnit.HOURS),)),
+        ),
+    )
+    kv = InMemoryKv()
+    upload_batch_state(kv, spark, gb, T0)
+    upload_stream_events(kv, spark, gb, T0, T1)
+    f = Fetcher(kv, gb)
+    users = sorted(r[0] for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+                   .where("user_id < 100").select("user_id").distinct().collect())
+    rows = []
+    for u in users:
+        got = f.fetch((u,), at_ts_ms=T1)
+        rows.append((int(u), got["value_sum_1d"], got["value_count"],
+                     got["value_max_6h"]))
+    sdf = spark.createDataFrame(
+        rows, schema="user_id long, sum_1d double, cnt_all long, max_6h double")
+    return sdf.select(
+        "user_id",
+        (F.round(F.col("sum_1d") + F.lit(ROUND_EPS), 4) + F.lit(0.0)).alias("sum_1d"),
+        "cnt_all",
+        (F.round(F.col("max_6h") + F.lit(ROUND_EPS), 4) + F.lit(0.0)).alias("max_6h"),
+    )
+
+
+def o_online_fetch() -> str:
+    T0 = 19_747 * MS_1D
+    T1 = T0 + 10 * 3_600_000 + 420_000
+    ms_6h, ms_5m = 6 * 3_600_000, 300_000
+    tail_1d = ((T1 - MS_1D) // HOP_1H) * HOP_1H
+    tail_6h = ((T1 - ms_6h) // ms_5m) * ms_5m
+    return f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 100),
+    j AS (
+      SELECT u.user_id, e.value AS v, epoch_ms(e.ts) AS ets
+      FROM u LEFT JOIN events e
+        ON e.user_id = u.user_id AND epoch_ms(e.ts) <= {T1}
+    )
+    SELECT user_id,
+           round(sum(v) FILTER (WHERE ets >= {tail_1d}) + 0.0000001, 4)
+             + 0.0 AS sum_1d,
+           CASE WHEN count(v) = 0 THEN NULL ELSE count(v) END AS cnt_all,
+           round(max(v) FILTER (WHERE ets >= {tail_6h}) + 0.0000001, 4)
+             + 0.0 AS max_6h
+    FROM j GROUP BY user_id
+    """
+
+
 _EPOCH_JAN16 = 19_738  # 2024-01-16 in epoch days; events span Jan 1-30
 _DEL_LAG_MS = 1_800_000  # synthesized deletions land 30 min after insert
 
@@ -1273,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "join_snapshot": q_join_snapshot,
         "entities_temporal": q_entities_temporal,
+        "online_fetch": q_online_fetch,
         "drift_psi": q_drift_psi,
         "snapshot_daily": q_snapshot_daily,
         "staging_pricing": q_staging_pricing,
@@ -1305,6 +1378,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": o_ann_lsh_topk(),
         "join_snapshot": o_join_snapshot(),
         "entities_temporal": o_entities_temporal(),
+        "online_fetch": o_online_fetch(),
         "drift_psi": o_drift_psi(),
         "snapshot_daily": o_snapshot_daily(),
         "staging_pricing": o_staging_pricing(),
