@@ -260,7 +260,7 @@ def main() -> None:
                     pair[cpus] = v
             if lo in pair and hi in pair:
                 eff_pair = (pair[hi] / pair[lo]) / (hi / lo)
-                if eff_pair > 1.05:
+                if eff_pair > 1.0:
                     # super-linear = the LO probe ran in a host-delivery
                     # trough (crippled denominator). That is a measurement
                     # artifact, not evidence — discard and try again.

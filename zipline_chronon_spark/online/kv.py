@@ -72,7 +72,10 @@ class InMemoryKv(KvStore):
         a service-backed client in production) and inherit the
         foreachPartition-shaped default."""
         n = 0
-        for row in df.toLocalIterator():
+        # IR frames are small by construction; without the coalesce,
+        # toLocalIterator pays one round-trip per upstream partition
+        # (~60 on a wide session) and dominates wall time
+        for row in df.coalesce(1).toLocalIterator():
             dataset, k, v = encode_fn(row.asDict())
             self.put(dataset, k, v)
             n += 1
