@@ -144,3 +144,46 @@ def test_part_spec_change_recomputes_one_part(spark, jset, tmp_path_factory):
     assert [ds for c in res["computed"]["merge"] for ds in c["partitions"]] == days
     got = spark.read.parquet(out + "/merged").select("tmp_value_sum_2d").count()
     assert got == 400
+
+
+def test_backfill_covering_set_prunes_part_tables(spark, jset, tmp_path_factory):
+    """A bootstrap table providing part `tmp`'s full output schema for half
+    the left rows: those rows must be absent from tmp's part table and
+    carry the bootstrap sentinel in the merged output, while part `snp`
+    (not covered) computes everywhere."""
+    import dataclasses
+
+    from zipline_chronon_spark.api import BootstrapPart
+    from pyspark.sql import functions as F
+
+    path, ds_min, ds_max = jset
+    base = tmp_path_factory.mktemp("jbfc")
+    out = str(base / "out")
+
+    boot = (spark.read.parquet(path).where("event_id % 2 = 0")
+            .select("event_id",
+                    F.lit(-5.0).alias("tmp_value_sum_1d"),
+                    F.lit(-7).cast("long").alias("tmp_value_count")))
+    bpath = str(base / "boot.parquet")
+    boot.write.mode("overwrite").parquet(bpath)
+    n_cov = boot.count()
+
+    j = dataclasses.replace(
+        _join(path),
+        bootstrap_parts=(BootstrapPart(table=bpath, key_columns=("event_id",)),))
+    JoinBackfill(spark, j, out).run(ds_min, ds_max, step_days=365)
+
+    part_rows = spark.read.parquet(out + "/_parts/tmp").count()
+    assert part_rows == 400 - n_cov, "covered rows reached the part engine"
+    assert spark.read.parquet(out + "/_parts/snp").count() == 400
+
+    got = (spark.read.parquet(out + "/merged")
+           .select("event_id", "tmp_value_sum_1d", "tmp_value_count",
+                   "snp_value_sum_2d")
+           .orderBy("event_id").toPandas())
+    cov = got[got.event_id % 2 == 0]
+    unc = got[got.event_id % 2 == 1]
+    assert (cov["tmp_value_sum_1d"] == -5.0).all()
+    assert (cov["tmp_value_count"] == -7).all()
+    assert (unc["tmp_value_count"].dropna() != -7).all()
+    assert got["snp_value_sum_2d"].notna().sum() > 0

@@ -160,8 +160,24 @@ class JoinBackfill:
 
     # -- nodes ----------------------------------------------------------------
 
+    def _covering_filter(self, part, left: DataFrame) -> DataFrame:
+        """Covering-set pruning (Join.scala:130-193, same rule as
+        compute_join): left rows matched by a bootstrap table that provides
+        this part's FULL output schema never enter the part engine — the
+        merge step coalesces their values from the bootstrap table."""
+        expected = {f"{part.full_prefix}_{ap.output_name}"
+                    for ap in part.group_by.parts()}
+        for bp in self.join.bootstrap_parts:
+            bdf = pit_join._read_table(self.spark, bp.table)
+            for w in bp.wheres:
+                bdf = bdf.where(w)
+            if expected <= set(bdf.columns) - set(bp.key_columns):
+                left = left.join(bdf.select(*bp.key_columns),
+                                 list(bp.key_columns), "left_anti")
+        return left
+
     def _part_chunk(self, part, ds_from: str, ds_to: str) -> DataFrame:
-        left = self._left_chunk(ds_from, ds_to)
+        left = self._covering_filter(part, self._left_chunk(ds_from, ds_to))
         # bound the right scan to what this chunk's windows can see
         # (GroupBy.scala:741-788); unbounded windows need all history
         max_w = part.group_by.max_window_millis()
