@@ -191,3 +191,49 @@ def test_analyzer_timestamp_sanity(spark, tmp_path):
     )
     rep = analyze_group_by(spark, gb, check_data=True)
     assert any("epoch-millis" in w for w in rep.warnings), (rep.errors, rep.warnings)
+
+
+def test_simhash_plan_is_shuffle_free(spark, tpath):
+    """simhash64 computes per row via array folds — the physical plan up to
+    the simhash values must contain NO Exchange (the r2 implementation
+    shuffled exploded tokens through a 31-buffer hash aggregate)."""
+    from zipline_chronon_spark.operators.dedup import simhash64
+
+    df = spark.read.parquet(tpath).select(
+        F.col("conv_id").alias("doc_id"), F.col("text"))
+    plan = _physical(simhash64(df.where("text IS NOT NULL")))
+    assert "Exchange" not in plan, plan
+
+
+def test_analyzer_external_part_keys(spark, tpath):
+    from zipline_chronon_spark.api import (EventSource, ExternalPart,
+                                           ExternalSource, Join, JoinPart, Query)
+    from zipline_chronon_spark.plans.analyzer import analyze_join
+
+    gb = GroupBy(
+        name="g",
+        sources=(specs.transcripts_source(tpath),),
+        key_columns=("conv_id",),
+        aggregations=(Aggregation("len_text", Operation.SUM, windows=(specs.W1D,)),),
+    )
+    ext = ExternalSource(name="r", key_columns=("uid",), value_columns=("score",))
+    j = Join(
+        name="xj",
+        left=EventSource(table=tpath, query=Query(time_column="ts")),
+        parts=(JoinPart(group_by=gb),),
+        online_external_parts=(
+            ExternalPart(source=ext, key_mapping=(("nope_col", "uid"),)),),
+    )
+    rep = analyze_join(spark, j)
+    assert any("missing left column 'nope_col'" in e for e in rep.errors), rep.errors
+    # fixed mapping -> clean
+    j2 = Join(
+        name="xj2",
+        left=EventSource(table=tpath, query=Query(time_column="ts")),
+        parts=(JoinPart(group_by=gb),),
+        online_external_parts=(
+            ExternalPart(source=ext, key_mapping=(("conv_id", "uid"),)),),
+    )
+    rep2 = analyze_join(spark, j2)
+    assert not rep2.errors, rep2.errors
+    assert "ext_r_score" in rep2.output_schema

@@ -171,6 +171,24 @@ def analyze_join(spark: SparkSession, join: Join,
             _check_availability(spark, part, start_ds, rep)
         for name, dt in sub.output_schema.items():
             rep.output_schema[f"{part.full_prefix}_{name}"] = dt
+    # online external parts: key mappings must resolve against the left
+    # even though values only materialize at fetch time — catching a bad
+    # mapping at analyze time beats a None-keyed handler call in serving
+    for ep in getattr(join, "online_external_parts", ()):
+        inv = {r: l for l, r in ep.key_mapping}
+        for k in ep.source.key_columns:
+            lcol = inv.get(k, k)
+            if lcol not in left_schema:
+                rep.errors.append(
+                    f"[ext:{ep.source.name}] external key '{k}' maps to "
+                    f"missing left column '{lcol}'")
+        for c in ep.source.value_columns:
+            nm = ep.column_name(c)
+            if nm in rep.output_schema:
+                rep.errors.append(
+                    f"[ext:{ep.source.name}] output column '{nm}' collides "
+                    "with a join-part column")
+            rep.output_schema[nm] = "external"
     return rep
 
 
