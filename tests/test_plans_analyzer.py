@@ -237,3 +237,34 @@ def test_analyzer_external_part_keys(spark, tpath):
     rep2 = analyze_join(spark, j2)
     assert not rep2.errors, rep2.errors
     assert "ext_r_score" in rep2.output_schema
+
+
+def test_analyzer_entity_groupby(spark, tmp_path_factory):
+    import pandas as pd
+
+    from zipline_chronon_spark.api import EntitySource, Query
+    from zipline_chronon_spark.plans.analyzer import analyze_group_by
+
+    pdf = pd.DataFrame({
+        "ds": ["2024-03-01"] * 3,
+        "user_id": [1, 2, 3],
+        "amount": [1.0, 2.0, 3.0],
+        "ts": [1_700_000_000_000 + i for i in range(3)],
+    })
+    path = str(tmp_path_factory.mktemp("aent") / "snap.parquet")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+
+    gb = GroupBy(
+        name="bal",
+        sources=(EntitySource(snapshot_table=path, query=Query(time_column="ts")),),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("amount", Operation.SUM),),
+    )
+    rep = analyze_group_by(spark, gb, check_data=True)
+    assert not rep.errors, rep.errors
+    assert rep.output_schema.get("amount_sum") == "double"
+    # bad key surfaces as a named error, not an AttributeError
+    import dataclasses
+    bad = dataclasses.replace(gb, key_columns=("nope",))
+    rep2 = analyze_group_by(spark, bad)
+    assert any("'nope'" in e for e in rep2.errors), rep2.errors

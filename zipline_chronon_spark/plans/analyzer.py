@@ -83,7 +83,24 @@ def analyze_group_by(spark: SparkSession, gb: GroupBy,
                      skew_detection: bool = False) -> AnalysisReport:
     rep = AnalysisReport(name=gb.name)
     try:
-        ev = pit_join.events_df(spark, gb)
+        from zipline_chronon_spark.api import EntitySource
+
+        if gb.sources and isinstance(gb.sources[0], EntitySource):
+            # entity GroupBys: schema/data checks run against the rendered
+            # snapshot table (the mutation feed shares its value schema)
+            (src,) = gb.sources
+            df = pit_join._read_table(spark, src.snapshot_table)
+            for w in src.query.wheres:
+                df = df.where(w)
+            if src.query.selects:
+                df = df.select(*[F.expr(e).alias(n)
+                                 for n, e in src.query.selects.items()])
+            t_expr = F.expr(src.query.time_column)
+            t_dt = df.select(t_expr.alias("t")).schema[0].dataType
+            ev = df.withColumn(pit_join.TS_COL,
+                               pit_join._time_to_millis(t_expr, t_dt))
+        else:
+            ev = pit_join.events_df(spark, gb)
     except Exception as e:  # scan/selects/wheres resolution failure
         rep.errors.append(f"source resolution failed: {e}")
         return rep
