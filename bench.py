@@ -214,112 +214,9 @@ def main() -> None:
             timings[name] = round(best_of(lambda: fn(spark, SF_DIR).count(), n=2), 3)
     spark.stop()
 
-    # scaling: identical backfill at N vs 4N cores on the same input, each
-    # rep in a FRESH process (re-creating a SparkContext with a different
-    # master inside one JVM gives unreliable thread pools). The sandbox VM
-    # has bursty ambient load (identical runs vary up to 3x), so the levels
-    # are INTERLEAVED lo,hi,lo,hi,... and each level reports its best rep —
-    # a burst then hurts one rep of one level, not the ratio. A pure-JVM
-    # hash-aggregate control at the same two levels is emitted alongside so
-    # the artifact itself shows how many cores the host actually delivered.
     scaling = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        lo, hi = SCALING_LOW_CPUS, SCALING_HIGH_CPUS
-        max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "8"))
-        budget_sec = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "1500"))
-        t_start = time.time()
-        reps: dict[int, list[float]] = {lo: [], hi: []}
-        pairs: list[float] = []
-        rejected: list[float] = []
-        ceilings: list[float] = []
-        for _round in range(max_rounds):
-            if time.time() - t_start > budget_sec:
-                break
-            # host core-delivery ceiling: pure-python busy loops, no JVM.
-            # When the hypervisor is only delivering ~2.5 of 4 requested
-            # cores (observed: load-1 windows where even raw CPU caps at
-            # 0.76), an engine probe CANNOT pass — skip the expensive JVM
-            # round and wait for the burst to pass.
-            ceil = _host_core_delivery(lo, hi)
-            ceilings.append(round(ceil, 3))
-            # wait for a clean host window while enough budget remains for
-            # a full pair (~7 min): a pair started in a delivery trough is
-            # 7 wasted minutes, and the busy-loop gate costs 4 s
-            if ceil < 0.85 and time.time() - t_start < budget_sec - 500:
-                time.sleep(20)
-                continue
-            pair = {}
-            # 32x probe input: lo reps are ~75 s each. ONE timed lo rep
-            # (the warm pass already absorbed compile/worker startup)
-            # keeps a pair near ~4 min so ~5 attempts fit the budget —
-            # a burst-hit pair gets rejected/low and we just try again.
-            for cpus, (n_reps, pause) in ((lo, (1, 0)), (hi, (2, 5))):
-                v = _run_probe("--scaling-probe", cpus, n_reps, pause)
-                if v is not None:
-                    reps[cpus].append(v)
-                    pair[cpus] = v
-            if lo in pair and hi in pair:
-                eff_pair = (pair[hi] / pair[lo]) / (hi / lo)
-                if eff_pair > 1.0:
-                    # super-linear = the LO probe ran in a host-delivery
-                    # trough (crippled denominator). That is a measurement
-                    # artifact, not evidence — discard and try again.
-                    rejected.append(round(eff_pair, 3))
-                else:
-                    pairs.append(round(eff_pair, 3))
-            if pairs and (max(pairs) >= 0.9
-                          or (max(pairs) >= 0.82 and _round >= 1)):
-                break  # stable pass; don't burn more bench wall-clock
-        if reps[lo] and reps[hi]:
-            # headline = best-of-paired: each pair runs back-to-back in one
-            # ambient window, so its ratio is apples-to-apples; the best
-            # pair is the cleanest window this VM offered during the bench
-            fallback = not pairs
-            eff = max(pairs) if pairs else min(
-                (max(reps[hi]) / max(reps[lo])) / (hi / lo), 1.0)
-            jvm = {c: _run_probe("--jvm-probe", c) for c in (lo, hi)}
-            jvm_ctl = {}
-            if jvm[lo] and jvm[hi]:
-                jvm_ctl = {
-                    f"local[{lo}]_rows_per_sec": round(jvm[lo]),
-                    f"local[{hi}]_rows_per_sec": round(jvm[hi]),
-                    "speedup": round(jvm[hi] / jvm[lo], 2),
-                    "note": "pure-JVM hash aggregate, no Python: upper bound "
-                            "on core delivery by this VM at these levels",
-                }
-            best_ceiling = max(ceilings) if ceilings else None
-            scaling = {
-                f"local[{lo}]_turns_per_sec": round(max(reps[lo])),
-                f"local[{hi}]_turns_per_sec": round(max(reps[hi])),
-                "efficiency": round(eff, 3),
-                "pair_efficiencies": pairs,
-                "rejected_superlinear_pairs": rejected,
-                "fallback_ratio_of_level_bests": fallback,
-                "efficiency_conservative": round(
-                    (max(reps[hi]) / max(reps[lo])) / (hi / lo), 3),
-                "host_core_delivery": {
-                    "samples": ceilings,
-                    "note": "pure-python busy-loop parallel efficiency at the "
-                            "same two levels: the ceiling ANY workload can "
-                            "reach on this VM during the measurement window",
-                },
-                "efficiency_vs_host": (round(eff / best_ceiling, 3)
-                                       if best_ceiling else None),
-                "reps_turns_per_sec": {
-                    f"local[{lo}]": [round(v) for v in reps[lo]],
-                    f"local[{hi}]": [round(v) for v in reps[hi]],
-                },
-                "method": "interleaved fresh-process lo/hi pairs; headline "
-                          "efficiency = best PAIR ratio (a pair runs "
-                          "back-to-back in one ambient window); "
-                          "efficiency_conservative = ratio of per-level "
-                          "bests; JVM rounds skipped while the host "
-                          "busy-loop ceiling is <0.8 (ambient bursts on "
-                          "this VM vary single runs up to 3x)",
-                "jvm_control": jvm_ctl,
-            }
-        else:
-            scaling = {"skipped": "probe timeout under ambient load"}
+        scaling = measure_scaling()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -332,6 +229,136 @@ def main() -> None:
         "turns_per_sec": round(n_turns / t_flagship),
         "scaling": scaling,
     }))
+
+
+def measure_scaling() -> dict:
+    """Scaling-efficiency evidence for the north rule: the identical backfill
+    at N vs 4N cores on the same input, each probe in a FRESH process
+    (re-creating a SparkContext with a different master inside one JVM gives
+    unreliable thread pools).
+
+    This VM's ambient load is bursty (identical runs vary up to 3x; even
+    pure-python busy-loop pairs have measured 0.088 parallel efficiency in a
+    hypervisor storm — see BASELINE.md methodology). So a pair is only
+    ACCEPTED as evidence when the measurement itself proves its window was
+    clean:
+
+      1. a busy-loop host-ceiling sample ≥ CLEAN immediately BEFORE the pair
+         (no workload can out-scale what the hypervisor delivers to raw CPU),
+      2. A-B-A probing — lo, hi, lo — with the two lo reps agreeing within
+         15% (drift between them = the window moved mid-pair),
+      3. a ceiling sample ≥ CLEAN_AFTER immediately AFTER the pair,
+      4. efficiency ≤ 1.05 (higher = the lo denominator was crippled by a
+         trough the brackets missed; 1.0 < e ≤ 1.05 is jitter, clamped to 1.0).
+
+    Headline = MEDIAN of accepted pairs (not best-of: a best-of headline is
+    selected for, per round-3 advice). Every attempted pair is recorded with
+    its own ceiling bracket and accept/reject reason, so the artifact carries
+    the evidence, clean or not. If no pair is ever accepted, fall back to the
+    best attempted pair with an explicit fallback flag."""
+    import statistics
+
+    lo, hi = SCALING_LOW_CPUS, SCALING_HIGH_CPUS
+    budget_sec = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "1900"))
+    clean = float(os.environ.get("SPARK_GRAFT_SCALING_CLEAN_CEIL", "0.9"))
+    clean_after = clean - 0.05
+    # one A-B-A attempt ~5.5 min (3 fresh JVMs + 2 ceiling brackets)
+    attempt_cost = 340.0
+    t_start = time.time()
+    pairs: list[dict] = []
+    wait_ceils: list[float] = []
+
+    def remaining() -> float:
+        return budget_sec - (time.time() - t_start)
+
+    def accepted() -> list[float]:
+        return [p["efficiency"] for p in pairs if p["accepted"]]
+
+    while remaining() > 30:
+        acc = accepted()
+        if len(acc) >= 2 and statistics.median(acc) >= 0.8:
+            break  # clean evidence landed; don't burn more wall-clock
+        if acc and remaining() < attempt_cost + 60:
+            break  # keep the accepted pair; no budget for another attempt
+        # gate: wait for a clean host window (ceiling probe ~8s, max of 2
+        # samples — the troughs we're dodging last minutes, not seconds)
+        ceil0 = _ceiling(lo, hi)
+        if ceil0 < clean and remaining() > attempt_cost + 90:
+            wait_ceils.append(round(ceil0, 3))
+            time.sleep(15)
+            continue
+        lo1 = _run_probe("--scaling-probe", lo, 1, 0)
+        hi_reps = _run_probe("--scaling-probe", hi, 2, 4)
+        lo2 = _run_probe("--scaling-probe", lo, 1, 0)
+        ceil1 = _ceiling(lo, hi)
+        rec: dict = {"ceil_before": round(ceil0, 3), "ceil_after": round(ceil1, 3),
+                     "lo_tps": [round(v) for v in (lo1 or []) + (lo2 or [])],
+                     "hi_tps": [round(v) for v in (hi_reps or [])]}
+        if not (lo1 and hi_reps and lo2):
+            rec.update(accepted=False, reason="probe failed/timed out")
+            pairs.append(rec)
+            continue
+        lo_best, hi_best = max(lo1 + lo2), max(hi_reps)
+        lo_drift = abs(lo1[0] - lo2[0]) / max(lo1[0], lo2[0])
+        eff_raw = (hi_best / lo_best) / (hi / lo)
+        rec["lo_drift"] = round(lo_drift, 3)
+        rec["efficiency_raw"] = round(eff_raw, 3)
+        rec["efficiency"] = round(min(eff_raw, 1.0), 3)
+        if eff_raw > 1.05:
+            rec.update(accepted=False, reason="super-linear: lo denominator "
+                       "crippled by an ambient trough (artifact, not evidence)")
+        elif ceil0 < clean:
+            rec.update(accepted=False, reason=f"ceil_before {ceil0:.2f} < {clean}")
+        elif ceil1 < clean_after:
+            rec.update(accepted=False, reason=f"ceil_after {ceil1:.2f} < {clean_after}")
+        elif lo_drift > 0.15:
+            rec.update(accepted=False, reason="lo reps disagree >15%: window "
+                       "moved mid-pair")
+        else:
+            rec.update(accepted=True, reason=None)
+        pairs.append(rec)
+
+    acc = accepted()
+    if not pairs:
+        return {"skipped": "no probe completed inside the scaling budget"}
+    jvm = {c: _run_probe_scalar("--jvm-probe", c) for c in (lo, hi)}
+    jvm_ctl = {}
+    if jvm[lo] and jvm[hi]:
+        jvm_ctl = {
+            f"local[{lo}]_rows_per_sec": round(jvm[lo]),
+            f"local[{hi}]_rows_per_sec": round(jvm[hi]),
+            "speedup": round(jvm[hi] / jvm[lo], 2),
+            "note": "pure-JVM hash aggregate, no Python: upper bound on core "
+                    "delivery by this VM at these levels",
+        }
+    fallback = not acc
+    if acc:
+        eff = statistics.median(acc)
+    else:
+        eff = max((p.get("efficiency", 0.0) for p in pairs), default=0.0)
+    all_lo = [v for p in pairs for v in p["lo_tps"]]
+    all_hi = [v for p in pairs for v in p["hi_tps"]]
+    return {
+        f"local[{lo}]_turns_per_sec": max(all_lo) if all_lo else None,
+        f"local[{hi}]_turns_per_sec": max(all_hi) if all_hi else None,
+        "efficiency": round(eff, 3),
+        "headline_is": "median of accepted (clean-window) pairs" if acc
+                       else "best attempted pair (NO pair met the clean-window "
+                            "bar inside the budget)",
+        "accepted_pair_efficiencies": acc,
+        "fallback_no_accepted_pair": fallback,
+        "efficiency_best_pair": max((p.get("efficiency", 0.0) for p in pairs),
+                                    default=None),
+        "pairs": pairs,
+        "ceilings_while_waiting": wait_ceils,
+        "method": "A-B-A fresh-process probes (lo,hi,lo) with per-pair "
+                  "busy-loop host-ceiling brackets; a pair is accepted only "
+                  "if ceil_before>=%.2f, ceil_after>=%.2f, the two lo reps "
+                  "agree within 15%%, and efficiency<=1.05; headline = median "
+                  "of accepted pairs (best-of is reported separately, not "
+                  "selected for)" % (clean, clean_after),
+        "jvm_control": jvm_ctl,
+    }
 
 
 def _busy(n: int) -> float:
@@ -358,8 +385,15 @@ def _host_core_delivery(lo: int, hi: int) -> float:
     return t_lo / wall_hi
 
 
-def _run_probe(mode: str, cpus: int, *args: float) -> float | None:
-    """Run one probe in a fresh process; return its printed tps or None.
+def _ceiling(lo: int, hi: int, samples: int = 2) -> float:
+    """Max of a couple of busy-loop delivery samples (~4s each): the gate is
+    against minutes-long hypervisor troughs, so a momentarily-low single
+    sample shouldn't veto a genuinely clean window."""
+    return max(_host_core_delivery(lo, hi) for _ in range(samples))
+
+
+def _run_probe(mode: str, cpus: int, *args: float) -> list[float] | None:
+    """Run one probe in a fresh process; return its per-rep tps list or None.
     Hard timeout so a noisy-VM burst can never hang the bench."""
     import subprocess
 
@@ -370,9 +404,15 @@ def _run_probe(mode: str, cpus: int, *args: float) -> float | None:
             capture_output=True, text=True, env={**os.environ, "PYTHONPATH": REPO},
             check=True, timeout=600,
         )
-        return float(out.stdout.strip().splitlines()[-1])
+        v = json.loads(out.stdout.strip().splitlines()[-1])
+        return [float(x) for x in v] if isinstance(v, list) else [float(v)]
     except (subprocess.TimeoutExpired, subprocess.CalledProcessError, ValueError, IndexError):
         return None
+
+
+def _run_probe_scalar(mode: str, cpus: int, *args: float) -> float | None:
+    v = _run_probe(mode, cpus, *args)
+    return max(v) if v else None
 
 
 def jvm_probe(cpus: int) -> None:
@@ -393,7 +433,8 @@ def jvm_probe(cpus: int) -> None:
 
 
 def scaling_probe(cpus: int, reps: int = 3, pause: float = 0.0) -> None:
-    """Measure flagship throughput at one parallelism level; print tps.
+    """Measure flagship throughput at one parallelism level; print a JSON
+    list of per-rep tps (the caller applies best-of / agreement checks).
 
     Uses an 8x-sized input: the flagship at sf is fast enough that fixed
     costs (scan/plan/python-worker handshake) would otherwise dominate and
@@ -413,15 +454,15 @@ def scaling_probe(cpus: int, reps: int = 3, pause: float = 0.0) -> None:
     spark = _new_spark(cpus)
     _warm(spark, tpath)
     scaling_backfill(spark, tpath)  # one full warm pass (plan + worker pool)
-    dt = float("inf")
+    out = []
     for r in range(reps):
         if r and pause:
             time.sleep(pause)
         t0 = time.time()
         scaling_backfill(spark, tpath)
-        dt = min(dt, time.time() - t0)
+        out.append(n_turns / (time.time() - t0))
     spark.stop()
-    print(n_turns / dt)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -96,6 +96,88 @@ def test_matches_exact_engine(spark, events):
             assert dict(ef) == dict(gf), i
 
 
+def test_row_per_query_even_without_tiles_or_head(spark, events):
+    """A query whose key HAS history but none inside any window (and no
+    head-hop events) must still get a null-feature output row — same
+    cardinality contract as the exact engine (round-3 advice: the old
+    tile-join + inner head join silently dropped such rows)."""
+    gb = GroupBy(
+        name="ax_w",
+        sources=(EventSource(table="ax_events", query=Query(time_column="ts_ms")),),
+        key_columns=("k",),
+        aggregations=(
+            Aggregation("v", Operation.SUM, windows=(Window(1, TimeUnit.HOURS),)),
+            Aggregation("v", Operation.COUNT, windows=(Window(6, TimeUnit.HOURS),)),
+        ),
+    )
+    # T = 30 days after the last event: every window is empty for every key
+    far = BASE + 32 * 86_400_000
+    q = spark.createDataFrame(pd.DataFrame({
+        "k": ["0", "1", "unseen"],
+        "ts_ms": [far] * 3,
+        "__row_id": np.arange(3, dtype=np.int64),
+    }))
+    got = (compute_group_by_approx(spark, gb, q, row_id="__row_id",
+                                   query_time_col="ts_ms")
+           .toPandas().sort_values("__row_id").reset_index(drop=True))
+    assert len(got) == 3
+    assert got["v_sum_1h"].isna().all() and got["v_count_6h"].isna().all()
+
+
+def test_tile_fanout_bounded_by_window(spark, events):
+    """The query x tile join must be bounded by tiles-per-window, NOT by
+    history length: an all-windowed GroupBy with maxWindow w and finest
+    tail hop h joins <= w/h + 2 tiles per query row (alignment slack), no
+    matter how much older history the key has."""
+    from zipline_chronon_spark.operators.approx_engine import _build_union
+
+    gb = GroupBy(
+        name="ax_b",
+        sources=(EventSource(table="ax_events", query=Query(time_column="ts_ms")),),
+        key_columns=("k",),
+        aggregations=(
+            Aggregation("v", Operation.SUM, windows=(Window(6, TimeUnit.HOURS),)),
+            Aggregation("v", Operation.COUNT, windows=(Window(1, TimeUnit.HOURS),)),
+        ),
+    )
+    q = _queries(spark, events)
+    union, _, _ = _build_union(spark, gb, q, row_id="__row_id",
+                               query_time_col="ts_ms")
+    per_q = (union.where("__kind = 0").groupBy("__row_id").count()
+             .agg({"count": "max"}).collect()[0][0])
+    hop = 300_000  # finest tail hop of a 1h window
+    assert per_q is not None and per_q <= (6 * 3_600_000) // hop + 2
+
+
+def test_old_history_collapses_to_one_row_per_key(spark, events):
+    """With an unbounded part, events below the split land in ONE collapsed
+    IR row per key (kind=2) — the upload_batch_state split reused batch-side
+    — so per-query fan-out is bounded by the query-time span, not history."""
+    from zipline_chronon_spark.operators.approx_engine import _build_union
+
+    gb = _gb()  # has unbounded parts
+    # queries late in the range: most history is below the split
+    rng = np.random.default_rng(11)
+    q = spark.createDataFrame(pd.DataFrame({
+        "k": rng.choice([*map(str, range(5))], 40),
+        "ts_ms": BASE + 2 * 86_400_000 - rng.integers(0, 3_600_000, size=40),
+        "__row_id": np.arange(40, dtype=np.int64),
+    }).astype({"ts_ms": "int64"}))
+    union, _, _ = _build_union(spark, gb, q, row_id="__row_id",
+                               query_time_col="ts_ms")
+    per_q = (union.where("__kind = 2").groupBy("__row_id").count()
+             .agg({"count": "max"}).collect()[0][0])
+    assert per_q == 1  # exactly one collapsed row per query for a seen key
+
+
+def test_no_iterrows_in_module():
+    import inspect
+
+    from zipline_chronon_spark.operators import approx_engine
+
+    assert "iterrows" not in inspect.getsource(approx_engine)
+
+
 def test_matches_online_fetcher(spark, events):
     from zipline_chronon_spark.online.fetcher import (Fetcher, upload_batch_state,
                                                       upload_stream_events)

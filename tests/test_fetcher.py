@@ -100,6 +100,76 @@ def test_fetch_unseen_key(spark, events):
     assert all(v is None for v in got.values())
 
 
+def test_stream_upload_rerun_is_idempotent(spark, events):
+    """Uploads are at-least-once: a RETRIED upload_stream_events of the same
+    range must overwrite its previous keys (deterministic __seq), not write
+    the same events again under new keys and double-count every fetch
+    (round-3 advice on monotonically_increasing_id keys)."""
+    gb = _gb()
+    t0 = ((BASE + 86_400_000) // HOP) * HOP
+    t1 = t0 + 10 * 3_600_000
+    kv = InMemoryKv()
+    upload_batch_state(kv, spark, gb, t0)
+    n1 = upload_stream_events(kv, spark, gb, t0, t1)
+    once = {k: Fetcher(kv, gb).fetch((k,), at_ts_ms=t1) for k in "012345"}
+
+    # retry the SAME range, then an overlapping sub-range: key count and
+    # fetch results must not change
+    n2 = upload_stream_events(kv, spark, gb, t0, t1)
+    upload_stream_events(kv, spark, gb, t0 + 3_600_000, t1)
+    assert n2 == n1
+    assert len(kv.data[f"{gb.name}__events"]) == n1
+    again = {k: Fetcher(kv, gb).fetch((k,), at_ts_ms=t1) for k in "012345"}
+    for k in once:
+        for c, v in once[k].items():
+            g = again[k][c]
+            if isinstance(v, float):
+                assert abs(g - v) < 1e-9, (k, c)
+            else:
+                assert g == v, (k, c)
+
+
+def test_fetch_time_derivations(spark, events):
+    """A GroupBy with derivations serves the DERIVED columns online —
+    offline backfill and online fetch agree column-for-column (reference:
+    Fetcher derivation stage via CatalystUtil.scala; round-3 missing #1)."""
+    import dataclasses
+
+    from zipline_chronon_spark.api import Derivation
+
+    gb = dataclasses.replace(_gb(), derivations=(
+        Derivation("*", "*"),
+        Derivation("v_rate", "v_sum / v_count"),
+        Derivation("v_spread", "v_max - v_min"),
+    ))
+    t0 = ((BASE + 86_400_000) // HOP) * HOP
+    t1 = t0 + 10 * 3_600_000
+    kv = InMemoryKv()
+    upload_batch_state(kv, spark, gb, t0)
+    upload_stream_events(kv, spark, gb, t0, t1)
+    f = Fetcher(kv, gb, spark=spark)
+
+    # offline output — compute_group_by already applies gb.derivations
+    import numpy as np
+
+    offline = (compute_key_states(spark, gb, at_ts_ms=t1)
+               .toPandas().set_index("k"))
+    assert "v_rate" in offline.columns
+
+    for key in sorted(offline.index):
+        got = f.fetch((key,), at_ts_ms=t1)
+        assert "v_rate" in got and "v_spread" in got
+        for col in ["v_rate", "v_spread", "v_sum", "v_count"]:
+            g, e = got[col], offline.loc[key][col]
+            if e is None or (isinstance(e, float) and np.isnan(e)):
+                assert g is None, (key, col, g)
+            else:
+                assert abs(float(g) - float(e)) < 1e-9, (key, col, g, e)
+    # raw fetch still available for IR-level consumers
+    raw = f.fetch(("0",), at_ts_ms=t1, derive=False)
+    assert "v_rate" not in raw and "v_sum" in raw
+
+
 def test_dirkv_executor_path_parity(spark, events, tmp_path):
     """The DISTRIBUTED sink (KvStore.write_rows default: executor-side
     mapPartitions, no driver collect) must land byte-identical state to the

@@ -83,6 +83,66 @@ def test_lambda_merge_equals_batch(spark, events):
         assert dict(g) == dict(e)
 
 
+def _gb_windowed():
+    from zipline_chronon_spark.api import TimeUnit, Window
+
+    return GroupBy(
+        name="lamw",
+        sources=(EventSource(table="lam_events", query=Query(time_column="ts_ms")),),
+        key_columns=("k",),
+        aggregations=(
+            Aggregation("cat", Operation.APPROX_UNIQUE_COUNT,
+                        windows=(Window(1, TimeUnit.DAYS), None)),
+            Aggregation("v", Operation.APPROX_PERCENTILE,
+                        arg_map=(("percentiles", "[0.5, 0.9]"),),
+                        windows=(Window(6, TimeUnit.HOURS),)),
+        ),
+    )
+
+
+def test_windowed_lambda_merge_equals_batch(spark, events):
+    """ONE entry point now covers windowed parts (round-3 missing #4):
+    lambda_finalized with TILED batch state + at_ts_ms routes through the
+    shared online merge (fetcher.merge_state) and equals the batch engine
+    at t1 — sawtooth tails per part, not a global collapse."""
+    gb = _gb_windowed()
+    t0 = ((BASE + 86_400_000) // HOP_MS) * HOP_MS
+    t1 = t0 + 12 * 3_600_000
+
+    df = spark.table("lam_events")
+    batch_tiles = lambda_merge.sketch_tiles(
+        df.where(F.col("ts_ms") <= t0), gb, HOP_MS, ts_col="ts_ms")
+    stream_tiles = lambda_merge.sketch_tiles(
+        df.where((F.col("ts_ms") > t0) & (F.col("ts_ms") <= t1)),
+        gb, HOP_MS, ts_col="ts_ms")
+
+    got = (lambda_merge.lambda_finalized(batch_tiles, stream_tiles, gb,
+                                         at_ts_ms=t1)
+           .toPandas().set_index("k").sort_index())
+    exp = (compute_key_states(spark, gb, at_ts_ms=t1)
+           .toPandas().set_index("k").sort_index())
+    assert list(got.index) == list(exp.index)
+    for c in ["cat_approx_unique_count_1d", "cat_approx_unique_count"]:
+        assert got[c].tolist() == exp[c].tolist(), c
+    for g, e in zip(got["v_approx_percentile_6h"], exp["v_approx_percentile_6h"]):
+        if e is None or (isinstance(e, float) and pd.isna(e)):
+            assert g is None
+        else:
+            np.testing.assert_allclose(list(g), list(e), rtol=0, atol=1e-12)
+
+
+def test_windowed_lambda_merge_guards(spark, events):
+    gb = _gb_windowed()
+    df = spark.table("lam_events")
+    tiles = lambda_merge.sketch_tiles(df, gb, HOP_MS, ts_col="ts_ms")
+    with pytest.raises(ValueError, match="at_ts_ms"):
+        lambda_merge.lambda_finalized(tiles, tiles, gb)  # windowed, no T
+    collapsed = lambda_merge.collapse(tiles, gb)
+    with pytest.raises(ValueError, match="TILED"):
+        lambda_merge.lambda_finalized(collapsed, tiles, gb,
+                                      at_ts_ms=BASE + 86_400_000)
+
+
 def test_lambda_merge_order_invariance(spark, events):
     """Tiles merged in any grouping give identical finalized values (the
     property that makes the IR safe for salted partials and shuffles)."""

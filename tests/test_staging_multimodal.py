@@ -32,6 +32,52 @@ def test_staging_macros(spark, tmp_path_factory):
         "2024-01-01", "2024-01-03", "2024-01-03", "2024-01-05", 1)
 
 
+def test_staging_job_resume_and_spec_change(spark, tmp_path_factory):
+    """StagingQueryJob fills only missing partitions (kill-resume), and a
+    changed query archives + recomputes (StagingQueryJob.scala
+    fill-what's-missing; round-3 missing #5)."""
+    from zipline_chronon_spark.plans.staging import StagingQueryJob
+
+    base = tmp_path_factory.mktemp("sqj")
+    src = str(base / "src.parquet")
+    rows = [(f"2024-02-{d:02d}", i, float(i * d)) for d in range(1, 7)
+            for i in range(5)]
+    spark.createDataFrame(rows, "ds string, id int, v double").write.mode(
+        "overwrite").parquet(src)
+    sq = StagingQuery(
+        name="sqj",
+        query=f"""SELECT ds, id, v, v * 2 AS v2 FROM parquet.`{src}`
+                  WHERE ds BETWEEN '{{{{ start_date }}}}' AND '{{{{ end_date }}}}'""",
+    )
+    out = str(base / "out")
+
+    job = StagingQueryJob(spark, sq, out)
+    r1 = job.run("2024-02-01", "2024-02-03", step_days=2)
+    assert sum(len(c["partitions"]) for c in r1["computed_chunks"]) == 3
+
+    # "killed after day 3": a second run over the wider range fills ONLY
+    # the missing days
+    r2 = StagingQueryJob(spark, sq, out).run("2024-02-01", "2024-02-06")
+    filled = [ds for c in r2["computed_chunks"] for ds in c["partitions"]]
+    assert filled == ["2024-02-04", "2024-02-05", "2024-02-06"]
+    assert r2["skipped"] == 3
+    got = spark.read.parquet(out)
+    assert got.count() == 30 and got.where("v2 <> v * 2").count() == 0
+
+    # changed SQL -> archive + full recompute under the new hash
+    sq2 = StagingQuery(name="sqj", query=sq.query.replace("v * 2", "v * 3"))
+    r3 = StagingQueryJob(spark, sq2, out).run("2024-02-01", "2024-02-06")
+    assert r3["archived"] is not None
+    assert sum(len(c["partitions"]) for c in r3["computed_chunks"]) == 6
+    assert spark.read.parquet(out).where("v2 <> v * 3").count() == 0
+
+    # missing partition column -> named error
+    bad = StagingQuery(name="bad", query="SELECT 1 AS x")
+    with pytest.raises(ValueError, match="partition column"):
+        StagingQueryJob(spark, bad, str(base / "bad")).run(
+            "2024-02-01", "2024-02-01")
+
+
 @pytest.fixture()
 def media_df(spark):
     rows = [(i, f"payload-{i}".encode() * (i + 1)) for i in range(20)]

@@ -95,6 +95,10 @@ def _ir_rows(df: DataFrame, gb: GroupBy, tile_hop: Optional[int] = None):
         seen.add(nm)
         if p.operation == Operation.SUM:
             aggs.append(F.sum(c).alias(f"{nm}__sum"))
+            # live-row count rides along: the entity tier nulls a SUM whose
+            # deletions emptied it (cnt <= 0), matching the batch
+            # difference-array engine; the events tier ignores it
+            aggs.append(F.count(c).alias(f"{nm}__count"))
         elif p.operation == Operation.COUNT:
             aggs.append(F.count(c).alias(f"{nm}__count"))
         elif p.operation == Operation.AVERAGE:
@@ -186,18 +190,17 @@ def _encode(row: dict, parts) -> bytes:
     return json.dumps(body, sort_keys=True, default=float).encode()
 
 
-def upload_batch_state(kv: KvStore, spark: SparkSession, gb: GroupBy,
-                       batch_end_ms: int) -> int:
-    """GroupByUpload: collapsed IR per key (events too old for any window
-    tail) + tail-hop tiles covering [tile_floor, batch_end]. IR rows stream
-    into the KV seam from the executors (KvStore.write_rows); only the two
-    tiny meta rows are written driver-side."""
+def _upload_ir_split(kv: KvStore, gb: GroupBy, ev: DataFrame,
+                     batch_end_ms: int) -> int:
+    """The collapsed-IR + tail-hop-tile split over an already-projected
+    event frame (keys + inputs + TS_COL) — shared by the events tier
+    (upload_batch_state) and the entity tier (upload_entity_batch_state,
+    which feeds snapshot rows through the same datasets/encoding)."""
     from zipline_chronon_spark.operators import pit_join
 
     parts = _parts(gb)
     hop = _tile_hop(gb)
     floor = _tile_floor(gb, batch_end_ms)
-    ev = _events(spark, gb, None, batch_end_ms)
     keys = list(gb.key_columns)
     batch_ds, tile_ds = f"{gb.name}__batch", f"{gb.name}__tiles"
 
@@ -216,8 +219,19 @@ def upload_batch_state(kv: KvStore, spark: SparkSession, gb: GroupBy,
         recent = ev.where(F.col(pit_join.TS_COL) >= floor)
         n = kv.write_rows(_ir_rows(old, gb), enc_batch)
         n += kv.write_rows(_ir_rows(recent, gb, tile_hop=hop), enc_tile)
-    kv.put(f"{gb.name}__meta", b"batch_end_ms", str(batch_end_ms).encode())
     kv.put(f"{gb.name}__meta", b"tile_floor", str(floor if floor is not None else -1).encode())
+    return n
+
+
+def upload_batch_state(kv: KvStore, spark: SparkSession, gb: GroupBy,
+                       batch_end_ms: int) -> int:
+    """GroupByUpload: collapsed IR per key (events too old for any window
+    tail) + tail-hop tiles covering [tile_floor, batch_end]. IR rows stream
+    into the KV seam from the executors (KvStore.write_rows); only the two
+    tiny meta rows are written driver-side."""
+    ev = _events(spark, gb, None, batch_end_ms)
+    n = _upload_ir_split(kv, gb, ev, batch_end_ms)
+    kv.put(f"{gb.name}__meta", b"batch_end_ms", str(batch_end_ms).encode())
     return n
 
 
@@ -231,10 +245,19 @@ def upload_stream_events(kv: KvStore, spark: SparkSession, gb: GroupBy,
     inputs = sorted({p.input_column for p in parts})
     keys = list(gb.key_columns)
     ev = _events(spark, gb, lo_ms + 1, hi_ms)
-    # __seq only disambiguates duplicate (key, ts) rows in the KV key; any
-    # plan-unique id works
+    # __seq disambiguates duplicate (key, ts) rows in the KV key. It must be
+    # DETERMINISTIC across reruns (not monotonically_increasing_id, which
+    # depends on partition layout): uploads are at-least-once, and a retried
+    # upload of the same range must overwrite its previous keys, not write
+    # the same events under fresh keys and silently double-count every
+    # subsequent fetch. row_number over (key, ts, payload-hash) reproduces
+    # the same key for the same row on any partitioning of the input.
+    from pyspark.sql.window import Window as W
+
     rows = (ev.select(*keys, pit_join.TS_COL, *inputs)
-            .withColumn("__seq", F.monotonically_increasing_id()))
+            .withColumn("__seq", F.row_number().over(
+                W.partitionBy(*keys, pit_join.TS_COL)
+                 .orderBy(F.xxhash64(*inputs) if inputs else F.lit(0)))))
     events_ds = f"{gb.name}__events"
     ts_col = pit_join.TS_COL
 
@@ -248,17 +271,64 @@ def upload_stream_events(kv: KvStore, spark: SparkSession, gb: GroupBy,
     return kv.write_rows(rows, enc_event)
 
 
-class Fetcher:
-    """Fetch-time sawtooth merge: collapsed + selected tiles + head events."""
+def feature_schema_hint(spark: SparkSession, gb: GroupBy,
+                        prefix: Optional[str] = None) -> dict:
+    """{feature column: Spark type} from the engine's own output schema —
+    the authoritative types for fetched feature maps (metadata-only read)."""
+    from zipline_chronon_spark.operators import pit_join
 
-    def __init__(self, kv: KvStore, gb: GroupBy):
+    ev = pit_join.events_df(spark, gb)
+    _, _, out_schema = pit_join._output_schema(
+        gb, {f.name: f.dataType for f in ev.schema.fields}, [])
+    return {(f"{prefix}_{f.name}" if prefix else f.name): f.dataType
+            for f in out_schema.fields if f.name != pit_join.ROW_ID}
+
+
+class Fetcher:
+    """Fetch-time sawtooth merge: collapsed + selected tiles + head events.
+
+    ``gb.derivations`` are applied to the merged feature map before it is
+    returned (fetch-time derivations, reference Fetcher derivation stage via
+    CatalystUtil.scala:1-191) — THROUGH the same apply_derivations code the
+    offline engine uses, so a derived GroupBy serves exactly the columns its
+    offline backfill writes. Derivation evaluation needs a SparkSession (one
+    tiny local job per call — pass ``derive=False`` and batch through
+    ``derive_rows`` to amortize across many fetches)."""
+
+    def __init__(self, kv: KvStore, gb: GroupBy, spark=None):
         self.kv = kv
         self.gb = gb
+        self.spark = spark
         self.parts = _parts(gb)
         be = kv.get(f"{gb.name}__meta", b"batch_end_ms")
         self.batch_end_ms = int(be) if be is not None else None
 
-    def fetch(self, key_values: tuple, at_ts_ms: Optional[int] = None) -> dict:
+    def _spark(self):
+        from pyspark.sql import SparkSession
+
+        spark = self.spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"GroupBy {self.gb.name} has derivations: fetch-time "
+                f"application needs a SparkSession (pass spark= to Fetcher)")
+        return spark
+
+    def derive_rows(self, rows: list[dict]) -> list[dict]:
+        """Apply gb.derivations to many fetched feature maps in ONE job."""
+        from zipline_chronon_spark.operators.derive import apply_derivations_rows
+
+        return apply_derivations_rows(self._spark(), rows, self.gb.derivations,
+                                      schema_hint=self._schema_hint())
+
+    def _schema_hint(self) -> dict:
+        """Feature column -> engine output type (so all-None fetches still
+        type-check in derivations); one metadata-only source read, cached."""
+        if not hasattr(self, "_hint"):
+            self._hint = feature_schema_hint(self._spark(), self.gb)
+        return self._hint
+
+    def fetch(self, key_values: tuple, at_ts_ms: Optional[int] = None,
+              derive: bool = True) -> dict:
         kb = key_bytes(key_values)
         T = at_ts_ms if at_ts_ms is not None else self.batch_end_ms
         collapsed = None
@@ -274,7 +344,10 @@ class Fetcher:
             e = json.loads(v)
             if e["ts"] <= T:
                 events.append(e)
-        return merge_state(self.parts, collapsed, tiles, events, T)
+        out = merge_state(self.parts, collapsed, tiles, events, T)
+        if derive and self.gb.derivations:
+            out = self.derive_rows([out])[0]
+        return out
 
 
 def merge_state(parts, collapsed: Optional[dict],
@@ -372,11 +445,20 @@ class JoinFetcher:
 
     ``external_handlers`` maps ExternalSource.name -> callable taking a
     {key_column: value} dict and returning a {value_column: value} dict
-    (the reference's ExternalSourceHandler.fetch shape)."""
+    (the reference's ExternalSourceHandler.fetch shape).
 
-    def __init__(self, kv: KvStore, join, external_handlers: Optional[dict] = None):
+    ``join.derivations`` are applied to the merged response (over the left
+    row's columns + all part/external features, exactly the frame the
+    offline MergeJob derives over), through the shared apply_derivations
+    code path — a derived Join serves the same columns online as its
+    backfill writes offline (reference Fetcher derivation stage)."""
+
+    def __init__(self, kv: KvStore, join, external_handlers: Optional[dict] = None,
+                 spark=None):
         self.join = join
-        self.part_fetchers = [(p, Fetcher(kv, p.group_by)) for p in join.parts]
+        self.spark = spark
+        self.part_fetchers = [(p, Fetcher(kv, p.group_by, spark=spark))
+                              for p in join.parts]
         self.external_handlers = external_handlers or {}
         for ep in join.online_external_parts:
             if ep.source.name not in self.external_handlers:
@@ -384,7 +466,23 @@ class JoinFetcher:
                     f"no handler registered for external source "
                     f"'{ep.source.name}' (have: {sorted(self.external_handlers)})")
 
-    def fetch_join(self, left_row: dict, at_ts_ms: Optional[int] = None) -> dict:
+    def fetch_join(self, left_row: dict, at_ts_ms: Optional[int] = None,
+                   derive: bool = True) -> dict:
+        out = self._fetch_raw(left_row, at_ts_ms)
+        if derive and self.join.derivations:
+            return self.derive_rows([(left_row, out)])[0]
+        return out
+
+    def fetch_join_batch(self, left_rows: list[dict],
+                         at_ts_ms: Optional[int] = None) -> list[dict]:
+        """Many lookups, ONE derivation job (the scalable serving shape —
+        the reference Fetcher also batches request lists)."""
+        raws = [self._fetch_raw(r, at_ts_ms) for r in left_rows]
+        if self.join.derivations:
+            return self.derive_rows(list(zip(left_rows, raws)))
+        return raws
+
+    def _fetch_raw(self, left_row: dict, at_ts_ms: Optional[int]) -> dict:
         out = {}
         for part, f in self.part_fetchers:
             inv = {r: l for l, r in part.key_mapping}
@@ -399,3 +497,25 @@ class JoinFetcher:
             for c in ep.source.value_columns:
                 out[ep.column_name(c)] = resp.get(c)
         return out
+
+    def derive_rows(self, pairs: list[tuple[dict, dict]]) -> list[dict]:
+        """Apply join.derivations over (left_row + features) dicts; left
+        columns are kept (the offline merge's always_keep contract)."""
+        from pyspark.sql import SparkSession
+
+        from zipline_chronon_spark.operators.derive import apply_derivations_rows
+
+        spark = self.spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"Join {self.join.name} has derivations: fetch-time "
+                f"application needs a SparkSession (pass spark= to JoinFetcher)")
+        keep = list(dict.fromkeys(c for left, _ in pairs for c in left))
+        rows = [{**left, **feats} for left, feats in pairs]
+        if not hasattr(self, "_hint"):
+            self._hint = {}
+            for part, _ in self.part_fetchers:
+                self._hint.update(feature_schema_hint(
+                    spark, part.group_by, prefix=part.full_prefix))
+        return apply_derivations_rows(spark, rows, self.join.derivations,
+                                      always_keep=keep, schema_hint=self._hint)

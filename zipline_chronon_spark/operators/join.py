@@ -34,6 +34,24 @@ from zipline_chronon_spark.operators import pit_join
 ROW_ID = pit_join.ROW_ID
 MS_DAY = 86_400_000
 
+# persisted-subtree registry (same lifecycle idiom as operators/dedup.py):
+# _snapshot_events_part pins its (key x day) query frame and compute_join
+# pins a minted-id left — both must stay cached until the join OUTPUT is
+# materialized (the persist is what makes monotonically_increasing_id stable
+# across plan branches), after which a long-lived session should call
+# release_caches(). plans/join_backfill.py does so after every chunk write.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every frame pinned by compute_join/_snapshot_events_part.
+
+    Only call AFTER the join result has been materialized (written or
+    collected): the persisted frames pin minted row ids, and dropping them
+    earlier would re-mint ids differently per plan branch."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def _snapshot_events_part(
     spark: SparkSession,
@@ -64,6 +82,7 @@ def _snapshot_events_part(
     # minted id must be stable across the two uses of qd (same reason the
     # join left is persisted); qd is |distinct keys x days| — small
     qd = qd.withColumn(ROW_ID, F.monotonically_increasing_id()).persist()
+    _PERSISTED.append(qd)
     qd.count()
     feats = pit_join.compute_group_by(
         spark, gb, qd, row_id=ROW_ID, query_time_col="__q_ts",
@@ -212,6 +231,7 @@ def compute_join(
     minted = not join.row_ids
     if minted:
         left = left.withColumn(ROW_ID, F.monotonically_increasing_id()).persist()
+        _PERSISTED.append(left)
         left.count()  # materialize so every branch sees identical ids
     else:
         rid = F.xxhash64(*join.row_ids)

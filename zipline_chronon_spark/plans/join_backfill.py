@@ -83,6 +83,7 @@ class JoinBackfill:
         self.catalog = catalog or ParquetWarehouse(spark)
         self.merge_lineage = Lineage(os.path.join(self.merged_path, "_lineage.jsonl"))
         self.merge_hash = spec_hash(join)
+        self._uniq_checked: set[tuple[str, str]] = set()
         self.part_paths: dict[str, str] = {}
         self.part_lineages: dict[str, Lineage] = {}
         self.part_hashes: dict[str, str] = {}
@@ -103,9 +104,33 @@ class JoinBackfill:
             left = left.where(skew_filter(col, values))
         left = left.where((F.col(pit_join.TS_COL) >= lo)
                           & (F.col(pit_join.TS_COL) < hi))
-        return left.withColumn(ROW_ID, F.xxhash64(*self.join.row_ids)).withColumn(
+        left = left.withColumn(ROW_ID, F.xxhash64(*self.join.row_ids)).withColumn(
             "ds", F.date_format((F.col(pit_join.TS_COL) / 1000).cast("timestamp"),
                                 "yyyy-MM-dd"))
+        self._assert_unique_row_ids(left, ds_from, ds_to)
+        return left
+
+    def _assert_unique_row_ids(self, left: DataFrame, ds_from: str, ds_to: str) -> None:
+        """The merge step equi-joins every part table on ROW_ID alone, so
+        duplicate natural keys on the left (or a 64-bit hash collision) would
+        silently FAN OUT the merged output. Mirror the reference's
+        materialized-left-row contract with a named failure instead
+        (MergeJob keys part tables on unique materialized left rows). One
+        cheap aggregate per (chunk range), memoized across the per-part and
+        merge uses of the same chunk."""
+        rng = (ds_from, ds_to)
+        if rng in self._uniq_checked:
+            return
+        row = left.agg(F.count(F.lit(1)).alias("n"),
+                       F.countDistinct(ROW_ID).alias("d")).collect()[0]
+        if row["n"] != row["d"]:
+            raise ValueError(
+                f"join.row_ids {self.join.row_ids} are not unique per left row "
+                f"in [{ds_from}, {ds_to}]: {row['n']} rows but {row['d']} "
+                f"distinct ROW_IDs — the ROW_ID merge would fan out. Use a "
+                f"left key set that is unique per row (or deduplicate the "
+                f"left source).")
+        self._uniq_checked.add(rng)
 
     # -- generic partition-diffed runner -------------------------------------
 
@@ -137,6 +162,12 @@ class JoinBackfill:
             t0 = time.time()
             df = compute_chunk(ds_from, ds_to)
             self.catalog.insert_partitions(df, path, partition_col="ds")
+            # the chunk is on disk: release frames the part engine pinned
+            # (snapshot qd / minted left) so a long resumable backfill does
+            # not accumulate cached partitions for the whole job lifetime
+            from zipline_chronon_spark.operators import join as join_ops
+
+            join_ops.release_caches()
             rows_per_ds = {
                 str(r["ds"]): int(r["n"])
                 for r in self.catalog.read(path)

@@ -86,8 +86,19 @@ def _prepared(df: DataFrame, gb: GroupBy, ts_col: str) -> DataFrame:
     cols = []
     for name in {*gb.key_columns, *(p.input_column for p in gb.parts())}:
         cols.append(F.expr(selects.get(name, name)).alias(name))
-    return df.select(*cols, F.col(ts_col).cast("timestamp").alias("__event_time"),
-                     F.unix_millis(F.col(ts_col).cast("timestamp")).alias("__ts_ms"))
+    from pyspark.sql import types as T
+
+    from zipline_chronon_spark.operators import pit_join
+
+    # shared time rule: a long ts column IS epoch millis (casting long ->
+    # timestamp would read it as SECONDS and silently shift every tile)
+    ts_dt = df.select(F.col(ts_col).alias("t")).schema[0].dataType
+    ts_ms = pit_join._time_to_millis(F.col(ts_col), ts_dt)
+    event_time = (F.timestamp_millis(ts_ms)
+                  if isinstance(ts_dt, (T.LongType, T.IntegerType))
+                  else F.col(ts_col).cast("timestamp"))
+    return df.select(*cols, event_time.alias("__event_time"),
+                     ts_ms.alias("__ts_ms"))
 
 
 def hop_tiles_stream(

@@ -77,10 +77,15 @@ def sketch_tiles(df: DataFrame, gb: GroupBy, hop_ms: int,
     selects = {}
     for s in gb.sources:
         selects.update(s.query.selects or {})
+    from zipline_chronon_spark.operators import pit_join
+
     cols = [F.expr(selects.get(n, n)).alias(n)
             for n in dict.fromkeys([*keys, *(p.input_column for p in parts)])]
+    ts_dt = df.select(F.col(ts_col).alias("t")).schema[0].dataType
+    # normalize via the engine's shared rule: a long column IS epoch millis
+    # (casting long->timestamp would read it as SECONDS and break hop math)
     p = df.select(*cols,
-                  F.unix_millis(F.col(ts_col).cast("timestamp")).alias("__ts_ms"))
+                  pit_join._time_to_millis(F.col(ts_col), ts_dt).alias("__ts_ms"))
     p = p.withColumn("hop_start_ms", (F.col("__ts_ms") / hop_ms).cast("long") * hop_ms)
 
     key_fields = df.select(*[F.expr(selects.get(k, k)).alias(k) for k in keys]).schema
@@ -165,10 +170,101 @@ def finalize(states: DataFrame, gb: GroupBy) -> DataFrame:
 
 
 def lambda_finalized(batch_state: DataFrame, stream_tiles: DataFrame,
-                     gb: GroupBy) -> DataFrame:
-    """Fetch-time merge: per-key batch IR + post-batch tiles -> estimates.
-    (SawtoothOnlineAggregator.lambdaAggregateFinalized analogue for
-    unbounded approx features.)"""
+                     gb: GroupBy, at_ts_ms: int | None = None) -> DataFrame:
+    """Fetch-time merge: per-key batch IR + post-batch tiles -> estimates
+    (SawtoothOnlineAggregator.lambdaAggregateFinalized analogue).
+
+    ONE entry point for both window shapes (reference handles windowed
+    directly in SawtoothOnlineAggregator.scala:86-167):
+
+    - all parts unbounded: every IR merges regardless of time; ``at_ts_ms``
+      is not needed and ``batch_state`` may be fully collapsed (no
+      ``hop_start_ms`` column).
+    - any windowed part: pass ``at_ts_ms`` (the fetch time) and keep
+      ``batch_state`` TILED (a collapsed row cannot serve a window tail) —
+      each part then honors its hop-aligned tail via the shared
+      online merge (online/fetcher.py merge_state), so this module agrees
+      with the Fetcher and the batch approx engine by construction.
+    """
+    windowed = [p for p in _sketch_parts(gb) if p.window is not None]
+    if not windowed:
+        keys = list(gb.key_columns)
+        union = batch_state.unionByName(stream_tiles.drop("hop_start_ms"))
+        return finalize(collapse(union.withColumn("hop_start_ms", F.lit(0)), gb), gb)
+    if at_ts_ms is None:
+        raise ValueError(
+            f"GroupBy {gb.name} has windowed approx parts "
+            f"({[p.output_name for p in windowed]}): pass at_ts_ms so their "
+            f"sawtooth tails can be resolved")
+    if "hop_start_ms" not in batch_state.columns:
+        raise ValueError(
+            "windowed lambda merge needs TILED batch state (hop_start_ms "
+            "column): a collapsed batch IR cannot serve a window tail — "
+            "build it with sketch_tiles(...), not collapse(...)")
+    return sawtooth_finalized(batch_state, stream_tiles, gb, at_ts_ms)
+
+
+def sawtooth_finalized(batch_tiles: DataFrame, stream_tiles: DataFrame,
+                       gb: GroupBy, at_ts_ms: int) -> DataFrame:
+    """Windowed fetch-time merge: per key, select the batch+stream tiles
+    each part's hop-aligned window tail admits at ``at_ts_ms`` and finalize
+    — routed through online/fetcher.py merge_state, the SAME code the
+    Fetcher and the batch approx engine run. Rows without ``hop_start_ms``
+    (collapsed batch state) feed only unbounded parts, mirroring the
+    collapsed-IR rule of the upload split."""
+    import numpy as np  # noqa: F401  (pandas binary cols arrive as objects)
+
+    from zipline_chronon_spark.online import fetcher as fl
+
+    parts = _sketch_parts(gb)
     keys = list(gb.key_columns)
-    union = batch_state.unionByName(stream_tiles.drop("hop_start_ms"))
-    return finalize(collapse(union.withColumn("hop_start_ms", F.lit(0)), gb), gb)
+    b = batch_tiles
+    if "hop_start_ms" not in b.columns:
+        b = b.withColumn("hop_start_ms", F.lit(None).cast("long"))
+    union = b.unionByName(stream_tiles)
+
+    out_schema = union.select(*keys).schema
+    for pt in parts:
+        if pt.operation == Operation.APPROX_UNIQUE_COUNT:
+            out_schema = out_schema.add(pt.output_name, T.LongType())
+        elif pt.operation in _FREQ_OPS:
+            out_schema = out_schema.add(
+                pt.output_name, T.MapType(T.StringType(), T.LongType()))
+        else:
+            out_schema = out_schema.add(pt.output_name, T.ArrayType(T.DoubleType()))
+
+    ir_cols = {pt.output_name: _ir_col(pt) for pt in parts}
+    cls_by_col = {f"{pt.output_name}__sk": fl._sketch_cls(pt.operation)
+                  for pt in parts}
+
+    def fin(pdf: pd.DataFrame) -> pd.DataFrame:
+        hops = pdf["hop_start_ms"].tolist()
+        cols = {nm: pdf[c].tolist() for nm, c in ir_cols.items()}
+        tiles: list[tuple[int, dict]] = []
+        collapsed: dict = {}
+        for i, h in enumerate(hops):
+            ir = {f"{nm}__sk": bytes(cols[nm][i]) for nm in cols
+                  if cols[nm][i] is not None}
+            if h is None or (isinstance(h, float) and pd.isna(h)):
+                # collapsed batch row: merge_state reads it for unbounded
+                # parts only — merge multiple via the sketch merge itself
+                for k, v in ir.items():
+                    if k in collapsed:
+                        a = cls_by_col[k]
+                        collapsed[k] = a.from_bytes(collapsed[k]).merge(
+                            a.from_bytes(v)).to_bytes()
+                    else:
+                        collapsed[k] = v
+            else:
+                tiles.append((int(h), ir))
+        merged = fl.merge_state(parts, collapsed or None, tiles, [], at_ts_ms)
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        for pt in parts:
+            v = merged[pt.output_name]
+            if pt.operation in _FREQ_OPS and isinstance(v, list):
+                v = dict(v)
+            out[pt.output_name] = [v]
+        return pd.DataFrame(out)
+
+    return union.groupBy(*keys).applyInPandas(
+        lambda _k, pdf: fin(pdf), schema=out_schema)

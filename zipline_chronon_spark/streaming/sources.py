@@ -48,6 +48,37 @@ def decode_json_events(raw: DataFrame, schema: T.StructType, ts_col: str,
         "__event_time", lateness)
 
 
+def decode_mutation_events(raw: DataFrame, schema: T.StructType,
+                           ts_col: str = "ts",
+                           mutation_ts_col: str = "mutation_ts",
+                           reversal_col: str = "is_before",
+                           lateness: str = "10 minutes") -> DataFrame:
+    """Entity CDC decode (reference streaming/GroupBy.scala:90-143): the
+    JSON event schema must carry ``mutation_ts`` and ``is_before``; rows
+    come out typed with a normalized ``__sign`` column (-1 before-image,
+    +1 otherwise) and the watermark on MUTATION time (processing order of
+    a CDC feed is mutation order, not row-ts order). Feed the decoded
+    rows to online/entity_serving.upload_mutation_events via foreachBatch,
+    or replay them with compute_entities_temporal."""
+    for need in (mutation_ts_col, reversal_col):
+        if need not in schema.fieldNames():
+            raise ValueError(
+                f"mutation decode needs '{need}' in the event schema "
+                f"(have: {schema.fieldNames()})")
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("e"))
+    out = parsed.select(*[F.col(f"e.{f.name}").alias(f.name)
+                          for f in schema.fields])
+    mt_field = schema[mutation_ts_col].dataType
+    mut_time = (F.col(mutation_ts_col) if isinstance(mt_field, T.TimestampType)
+                else F.timestamp_millis(F.col(mutation_ts_col).cast("long")))
+    return (out
+            .withColumn("__sign", F.when(F.col(reversal_col).cast("boolean"),
+                                         F.lit(-1)).otherwise(F.lit(1)))
+            .withColumn("__event_time", mut_time)
+            .withWatermark("__event_time", lateness))
+
+
 def build_kafka_stream(spark: SparkSession, src: KafkaSource,
                        format_override: Optional[tuple[str, dict]] = None) -> DataFrame:
     """readStream from Kafka (or an override source carrying a `value`
