@@ -1180,6 +1180,110 @@ def o_entities_temporal() -> str:
     """
 
 
+_ENTOL_DAY = _EPOCH_JAN16 + 9          # serving day d = 2024-01-25
+_ENTOL_T1 = _ENTOL_DAY * MS_1D + 10 * 3_600_000 + 420_000  # +10h07m, unaligned
+
+
+def q_entity_online_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE serving of temporal entities (streaming mutation path,
+    round-4: online/entity_serving.py): batch-upload the snapshot partition
+    of day d-1 as collapsed IR + tail-hop tiles, stream day-d CDC mutations
+    (with before-images) into KV, then EntityFetcher.fetch at a
+    non-aligned T1 for every key — the online analogue of the
+    `entities_temporal` row, oracle-gated. Because every insert lands at
+    its own ts and deletions land 30 min later, a row is visible at T1 iff
+    its insert ts < T1 and its deletion (if any) is >= T1 — which is
+    exactly what the lambda merge (snapshot IRs +/- signed mutations) must
+    reproduce. (Reference: streaming/GroupBy.scala:90-143 entity decode;
+    SawtoothMutationAggregator.scala:28-228.)"""
+    from zipline_chronon_spark.api import EntitySource
+    from zipline_chronon_spark.online.entity_serving import (
+        EntityFetcher, upload_entity_batch_state, upload_mutation_events)
+    from zipline_chronon_spark.online.kv import InMemoryKv
+
+    d, T1 = _ENTOL_DAY, _ENTOL_T1
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where("user_id < 100")
+          .select("user_id", "value", "event_id",
+                  F.unix_millis(F.col("ts").cast("timestamp")).alias("its")))
+    rows = ev.select(
+        "user_id", "value", "its",
+        (F.col("its") / MS_1D).cast("long").alias("iday"),
+        F.when(F.col("event_id") % 3 == 0,
+               F.col("its") + _DEL_LAG_MS).alias("dts"))
+    # snapshot partition d-1: rows live at end of day d-1
+    eod = d * MS_1D
+    snap = (rows.where((F.col("its") < eod)
+                       & (F.col("dts").isNull() | (F.col("dts") >= eod)))
+            .select("user_id", "value", F.col("its").alias("ts"),
+                    F.date_format(F.expr(f"timestamp_millis({eod - MS_1D})"),
+                                  "yyyy-MM-dd").alias("ds")))
+    # day-d mutations: same-day inserts (after-images) + deletions landing
+    # on day d (before-images carrying the ORIGINAL row ts)
+    after = (rows.where((F.col("its") >= eod) & (F.col("its") < eod + MS_1D))
+             .select("user_id", "value", F.col("its").alias("ts"),
+                     F.col("its").alias("mutation_ts"),
+                     F.lit(False).alias("is_before")))
+    before = (rows.where(F.col("dts").isNotNull()
+                         & (F.col("dts") >= eod) & (F.col("dts") < eod + MS_1D))
+              .select("user_id", "value", F.col("its").alias("ts"),
+                      F.col("dts").alias("mutation_ts"),
+                      F.lit(True).alias("is_before")))
+    snap.createOrReplaceTempView("zcs_entol_snap")
+    after.unionByName(before).createOrReplaceTempView("zcs_entol_mut")
+
+    gb = GroupBy(
+        name="entol",
+        sources=(EntitySource(snapshot_table="zcs_entol_snap",
+                              mutation_table="zcs_entol_mut",
+                              query=Query(time_column="ts")),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SUM, windows=(W7D,)),
+            Aggregation("value", Operation.COUNT, windows=(None,)),
+        ),
+    )
+    kv = InMemoryKv()
+    ds = F.date_format(F.expr(f"timestamp_millis({eod})"), "yyyy-MM-dd")
+    ds_str = spark.range(1).select(ds.alias("d")).collect()[0]["d"]
+    upload_entity_batch_state(kv, spark, gb, ds_str)
+    upload_mutation_events(kv, spark, gb, eod - 1, T1)
+    f = EntityFetcher(kv, gb)
+    users = sorted(r[0] for r in ev.select("user_id").distinct().collect())
+    out = []
+    for u in users:
+        got = f.fetch((int(u),), at_ts_ms=T1)
+        out.append((int(u), got["value_sum_7d"], got["value_count"]))
+    sdf = spark.createDataFrame(
+        out, schema="user_id long, sum_7d double, cnt_all long")
+    return sdf.select(
+        "user_id",
+        (F.round(F.col("sum_7d") + F.lit(ROUND_EPS), 4) + F.lit(0.0)).alias("sum_7d"),
+        "cnt_all")
+
+
+def o_entity_online_fetch() -> str:
+    d, T1 = _ENTOL_DAY, _ENTOL_T1
+    tail7 = ((T1 - MS_7D) // HOP_1H) * HOP_1H
+    return f"""
+    WITH r AS (
+      SELECT user_id, value,
+             epoch_ms(ts) AS its,
+             CASE WHEN event_id % 3 = 0 THEN epoch_ms(ts) + {_DEL_LAG_MS} END AS dts
+      FROM events WHERE user_id < 100
+    ),
+    u AS (SELECT DISTINCT user_id FROM r),
+    vis AS (SELECT * FROM r WHERE its < {T1} AND (dts IS NULL OR dts >= {T1}))
+    SELECT u.user_id,
+           round(sum(vis.value) FILTER (WHERE vis.its >= {tail7})
+                 + {ROUND_EPS}, 4) + 0.0 AS sum_7d,
+           CASE WHEN count(vis.value) = 0 THEN NULL
+                ELSE count(vis.value) END AS cnt_all
+    FROM u LEFT JOIN vis ON vis.user_id = u.user_id
+    GROUP BY u.user_id
+    """
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift job (Summarizer.scala / DriftMetrics shape): per-day column
     summaries over events (global-edge 20-bin histograms for `value`,
@@ -1345,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "join_snapshot": q_join_snapshot,
         "entities_temporal": q_entities_temporal,
+        "entity_online_fetch": q_entity_online_fetch,
         "online_fetch": q_online_fetch,
         "drift_psi": q_drift_psi,
         "snapshot_daily": q_snapshot_daily,
@@ -1378,6 +1483,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": o_ann_lsh_topk(),
         "join_snapshot": o_join_snapshot(),
         "entities_temporal": o_entities_temporal(),
+        "entity_online_fetch": o_entity_online_fetch(),
         "online_fetch": o_online_fetch(),
         "drift_psi": o_drift_psi(),
         "snapshot_daily": o_snapshot_daily(),

@@ -287,11 +287,14 @@ def measure_scaling() -> dict:
             wait_ceils.append(round(ceil0, 3))
             time.sleep(15)
             continue
+        load0 = os.getloadavg()[0]
         lo1 = _run_probe("--scaling-probe", lo, 1, 0)
         hi_reps = _run_probe("--scaling-probe", hi, 2, 4)
         lo2 = _run_probe("--scaling-probe", lo, 1, 0)
         ceil1 = _ceiling(lo, hi)
         rec: dict = {"ceil_before": round(ceil0, 3), "ceil_after": round(ceil1, 3),
+                     "load1_before": round(load0, 2),
+                     "load1_after": round(os.getloadavg()[0], 2),
                      "lo_tps": [round(v) for v in (lo1 or []) + (lo2 or [])],
                      "hi_tps": [round(v) for v in (hi_reps or [])]}
         if not (lo1 and hi_reps and lo2):
@@ -300,8 +303,11 @@ def measure_scaling() -> dict:
             continue
         lo_best, hi_best = max(lo1 + lo2), max(hi_reps)
         lo_drift = abs(lo1[0] - lo2[0]) / max(lo1[0], lo2[0])
+        hi_drift = ((max(hi_reps) - min(hi_reps)) / max(hi_reps)
+                    if len(hi_reps) > 1 else 0.0)
         eff_raw = (hi_best / lo_best) / (hi / lo)
         rec["lo_drift"] = round(lo_drift, 3)
+        rec["hi_drift"] = round(hi_drift, 3)
         rec["efficiency_raw"] = round(eff_raw, 3)
         rec["efficiency"] = round(min(eff_raw, 1.0), 3)
         if eff_raw > 1.05:
@@ -314,6 +320,13 @@ def measure_scaling() -> dict:
         elif lo_drift > 0.15:
             rec.update(accepted=False, reason="lo reps disagree >15%: window "
                        "moved mid-pair")
+        elif hi_drift > 0.4:
+            # a competing few-core load (e.g. another tenant job) can crush
+            # one hi rep without denting the busy-loop ceiling on a 32-core
+            # box — wildly-disagreeing hi reps mean the window is unstable
+            # in a way the ceiling cannot see
+            rec.update(accepted=False, reason="hi reps disagree >40%: "
+                       "window unstable (invisible to the busy-loop ceiling)")
         else:
             rec.update(accepted=True, reason=None)
         pairs.append(rec)
