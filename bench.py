@@ -345,23 +345,32 @@ def measure_scaling() -> dict:
                     "delivery by this VM at these levels",
         }
     fallback = not acc
+    all_effs = [p["efficiency"] for p in pairs if "efficiency" in p]
     if acc:
         eff = statistics.median(acc)
     else:
-        eff = max((p.get("efficiency", 0.0) for p in pairs), default=0.0)
+        # storm mode: every pair was measured under some instability, but
+        # each pair's ratio is still best-of-within-one-window — the MEDIAN
+        # of all attempted pairs is the honest storm estimate (never a
+        # selected-for max)
+        eff = statistics.median(all_effs) if all_effs else 0.0
     all_lo = [v for p in pairs for v in p["lo_tps"]]
     all_hi = [v for p in pairs for v in p["hi_tps"]]
+    ratio_of_bests = ((max(all_hi) / max(all_lo)) / (hi / lo)
+                      if all_lo and all_hi else None)
     return {
         f"local[{lo}]_turns_per_sec": max(all_lo) if all_lo else None,
         f"local[{hi}]_turns_per_sec": max(all_hi) if all_hi else None,
         "efficiency": round(eff, 3),
         "headline_is": "median of accepted (clean-window) pairs" if acc
-                       else "best attempted pair (NO pair met the clean-window "
-                            "bar inside the budget)",
+                       else "median of ALL attempted pairs (no pair met the "
+                            "clean-window bar inside the budget)",
         "accepted_pair_efficiencies": acc,
+        "all_pair_efficiencies": all_effs,
         "fallback_no_accepted_pair": fallback,
-        "efficiency_best_pair": max((p.get("efficiency", 0.0) for p in pairs),
-                                    default=None),
+        "efficiency_best_pair": max(all_effs, default=None),
+        "efficiency_ratio_of_bests": (round(min(ratio_of_bests, 1.0), 3)
+                                      if ratio_of_bests else None),
         "pairs": pairs,
         "ceilings_while_waiting": wait_ceils,
         "method": "A-B-A fresh-process probes (lo,hi,lo) with per-pair "

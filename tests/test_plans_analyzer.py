@@ -268,3 +268,75 @@ def test_analyzer_entity_groupby(spark, tmp_path_factory):
     bad = dataclasses.replace(gb, key_columns=("nope",))
     rep2 = analyze_group_by(spark, bad)
     assert any("'nope'" in e for e in rep2.errors), rep2.errors
+
+
+def test_derivation_validation(spark, tmp_path_factory):
+    """Derivation expressions are Catalyst-analyzed against the real output
+    schema at spec time: a typo'd column or type-invalid expression fails
+    with a named error BEFORE any backfill runs; expressions over
+    fetch-time external columns downgrade to warnings."""
+    import dataclasses
+
+    import pandas as pd
+
+    from zipline_chronon_spark.api import (Aggregation, Derivation, EventSource,
+                                           GroupBy, Operation, Query)
+    from zipline_chronon_spark.plans.analyzer import analyze_group_by
+
+    pdf = pd.DataFrame({"k": ["a", "b"], "ts_ms": [1_700_000_000_000] * 2,
+                        "v": [1.0, 2.0]})
+    spark.createDataFrame(pdf).createOrReplaceTempView("anl_ev4")
+    gb = GroupBy(
+        name="anl4",
+        sources=(EventSource(table="anl_ev4", query=Query(time_column="ts_ms")),),
+        key_columns=("k",),
+        aggregations=(Aggregation("v", Operation.SUM, windows=(None,)),
+                      Aggregation("v", Operation.COUNT, windows=(None,))),
+        derivations=(Derivation("*", "*"),
+                     Derivation("rate", "v_sum / v_count")),
+    )
+    assert analyze_group_by(spark, gb).ok
+
+    bad = dataclasses.replace(gb, derivations=(
+        Derivation("rate", "v_sum / v_countt"),))  # typo'd column
+    rep = analyze_group_by(spark, bad)
+    assert not rep.ok and any("derivation 'rate'" in e for e in rep.errors)
+
+    bad2 = dataclasses.replace(gb, derivations=(
+        Derivation("boom", "substr(v_sum,, 1)"),))  # unparsable
+    rep2 = analyze_group_by(spark, bad2)
+    assert not rep2.ok and any("derivation 'boom'" in e for e in rep2.errors)
+
+
+def test_join_derivation_external_warning(spark):
+    """A join derivation over an external (fetch-time) column cannot be
+    validated offline -> warning, not error."""
+    import pandas as pd
+
+    from zipline_chronon_spark.api import (Aggregation, Derivation, EventSource,
+                                           ExternalPart, ExternalSource, GroupBy,
+                                           Join, JoinPart, Operation, Query)
+    from zipline_chronon_spark.plans.analyzer import analyze_join
+
+    pdf = pd.DataFrame({"k": ["a"], "ts_ms": [1_700_000_000_000], "v": [1.0]})
+    spark.createDataFrame(pdf).createOrReplaceTempView("anl_ev5")
+    gb = GroupBy(
+        name="anl5",
+        sources=(EventSource(table="anl_ev5", query=Query(time_column="ts_ms")),),
+        key_columns=("k",),
+        aggregations=(Aggregation("v", Operation.SUM, windows=(None,)),),
+    )
+    join = Join(
+        name="anlj5",
+        left=EventSource(table="anl_ev5", query=Query(time_column="ts_ms")),
+        parts=(JoinPart(group_by=gb),),
+        online_external_parts=(ExternalPart(
+            source=ExternalSource(name="scorer", key_columns=("k",),
+                                  value_columns=("score",)),),),
+        derivations=(Derivation("*", "*"),
+                     Derivation("boosted", "ext_scorer_score * 2"),
+                     Derivation("ok_col", "anl5_v_sum + 1")),
+    )
+    rep = analyze_join(spark, join)
+    assert rep.ok, rep.errors  # external-col derivation is only a warning
+    assert any("fetch-time" in w for w in rep.warnings)

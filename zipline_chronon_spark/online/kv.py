@@ -99,13 +99,25 @@ class DirKv(KvStore):
     atomic (tmp + os.replace) so concurrent executor tasks are safe, and
     the store works across processes on one machine — the sandbox's
     stand-in for a real KV service behind the same seam (`self` holds only
-    the root path, so pickling it into tasks is free)."""
+    the root path, so pickling it into tasks is free).
+
+    Prefix scans are INDEXED: files bucket under sha256 of the key's first
+    ``|``-component (the entity-key part of ``kb|tile`` / ``kb|ts|seq``
+    keys), so a fetch reads only its own key's bucket instead of listing
+    the whole dataset — the directory analogue of a real store's prefix
+    scan. A scan whose prefix contains ``|`` hits one bucket; any other
+    prefix (incl. empty) falls back to a correct full walk."""
 
     def __init__(self, root: str):
         self.root = root
 
+    @staticmethod
+    def _bucket(key: bytes) -> str:
+        return hashlib.sha256(key.split(b"|", 1)[0]).hexdigest()[:16]
+
     def _path(self, dataset: str, key: bytes) -> str:
-        return os.path.join(self.root, dataset, hashlib.sha256(key).hexdigest())
+        return os.path.join(self.root, dataset, self._bucket(key),
+                            hashlib.sha256(key).hexdigest())
 
     def put(self, dataset: str, key: bytes, value: bytes) -> None:
         path = self._path(dataset, key)
@@ -128,8 +140,7 @@ class DirKv(KvStore):
         except FileNotFoundError:
             return None
 
-    def scan(self, dataset: str, key_prefix: bytes = b"") -> Iterable[tuple[bytes, bytes]]:
-        d = os.path.join(self.root, dataset)
+    def _walk_bucket(self, d: str, key_prefix: bytes) -> Iterable[tuple[bytes, bytes]]:
         if not os.path.isdir(d):
             return
         for name in sorted(os.listdir(d)):
@@ -139,6 +150,19 @@ class DirKv(KvStore):
                 k, v = self._decode(f.read())
             if k.startswith(key_prefix):
                 yield k, v
+
+    def scan(self, dataset: str, key_prefix: bytes = b"") -> Iterable[tuple[bytes, bytes]]:
+        base = os.path.join(self.root, dataset)
+        if not os.path.isdir(base):
+            return
+        if b"|" in key_prefix:
+            # component-aligned prefix: every matching key shares its first
+            # component, so exactly one bucket can hold matches
+            yield from self._walk_bucket(
+                os.path.join(base, self._bucket(key_prefix)), key_prefix)
+            return
+        for b in sorted(os.listdir(base)):
+            yield from self._walk_bucket(os.path.join(base, b), key_prefix)
 
 
 def key_bytes(key_values: tuple) -> bytes:

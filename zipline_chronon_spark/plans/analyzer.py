@@ -78,6 +78,33 @@ def run_skew_detection(df: DataFrame, keys: list[str], rep: AnalysisReport,
         rep.hot_keys[k] = [(r[k], int(r["n"])) for r in rows]
 
 
+def _check_derivations(spark: SparkSession, derivations, base_fields,
+                       rep: AnalysisReport, scope: str = "",
+                       fetch_time_cols: tuple = ()) -> None:
+    """Validate derivation expressions by ANALYZING them against an empty
+    frame with the real output schema (Catalyst catches unresolved columns
+    and type mismatches without running anything) — the spec-time analogue
+    of the reference's derivation validation (Analyzer.scala derivation
+    walk). Expressions over fetch-time-only external columns can't be
+    typed offline and downgrade to warnings."""
+    if not derivations:
+        return
+    df = spark.createDataFrame([], T.StructType(list(base_fields)))
+    for d in derivations:
+        if d.name == "*":
+            continue
+        try:
+            df.selectExpr(f"{d.expression} AS `{d.name}`")
+        except Exception as e:
+            msg = str(e).splitlines()[0]
+            if any(c in d.expression for c in fetch_time_cols):
+                rep.warnings.append(
+                    f"{scope}derivation '{d.name}' references a fetch-time "
+                    f"external column — cannot be validated offline ({msg})")
+            else:
+                rep.errors.append(f"{scope}derivation '{d.name}' invalid: {msg}")
+
+
 def analyze_group_by(spark: SparkSession, gb: GroupBy,
                      check_data: bool = False,
                      skew_detection: bool = False) -> AnalysisReport:
@@ -109,6 +136,7 @@ def analyze_group_by(spark: SparkSession, gb: GroupBy,
     if skew_detection:
         run_skew_detection(ev, list(gb.key_columns), rep)
     schema = {f.name: f.dataType for f in ev.schema.fields}
+    out_fields: list = []
     for k in gb.key_columns:
         if k not in schema:
             rep.errors.append(f"key column '{k}' not in rendered source")
@@ -133,10 +161,13 @@ def analyze_group_by(spark: SparkSession, gb: GroupBy,
         try:
             f = pit_join.output_field(part, in_t)
             rep.output_schema[f.name] = f.dataType.simpleString()
+            out_fields.append(f)
         except NotImplementedError as e:
             rep.errors.append(str(e))
     if gb.tie_breaker_column and gb.tie_breaker_column not in schema:
         rep.errors.append(f"tie breaker '{gb.tie_breaker_column}' not in source")
+    rep.output_fields = out_fields  # typed fields for the join-level check
+    _check_derivations(spark, gb.derivations, out_fields, rep)
     return rep
 
 
@@ -163,6 +194,7 @@ def analyze_join(spark: SparkSession, join: Join,
     prefixes = [p.full_prefix for p in join.parts]
     if len(set(prefixes)) != len(prefixes):
         rep.errors.append(f"duplicate join-part prefixes: {prefixes}")
+    join_fields: list = list(left.schema.fields)
     for part in join.parts:
         sub = analyze_group_by(spark, part.group_by, check_data=check_data,
                                skew_detection=skew_detection)
@@ -188,6 +220,9 @@ def analyze_join(spark: SparkSession, join: Join,
             _check_availability(spark, part, start_ds, rep)
         for name, dt in sub.output_schema.items():
             rep.output_schema[f"{part.full_prefix}_{name}"] = dt
+        join_fields.extend(
+            T.StructField(f"{part.full_prefix}_{f.name}", f.dataType, True)
+            for f in getattr(sub, "output_fields", ()))
     # online external parts: key mappings must resolve against the left
     # even though values only materialize at fetch time — catching a bad
     # mapping at analyze time beats a None-keyed handler call in serving
@@ -206,6 +241,11 @@ def analyze_join(spark: SparkSession, join: Join,
                     f"[ext:{ep.source.name}] output column '{nm}' collides "
                     "with a join-part column")
             rep.output_schema[nm] = "external"
+    ext_cols = tuple(ep.column_name(c)
+                     for ep in getattr(join, "online_external_parts", ())
+                     for c in ep.source.value_columns)
+    _check_derivations(spark, join.derivations, join_fields, rep,
+                       fetch_time_cols=ext_cols)
     return rep
 
 
