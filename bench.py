@@ -245,8 +245,10 @@ def measure_scaling() -> dict:
 
       1. a busy-loop host-ceiling sample ≥ CLEAN immediately BEFORE the pair
          (no workload can out-scale what the hypervisor delivers to raw CPU),
-      2. A-B-A probing — lo, hi, lo — with the two lo reps agreeing within
-         15% (drift between them = the window moved mid-pair),
+      2. A-B-A probing — lo, hi, lo, with warm passes timed as extra
+         (downward-biased, best-of-safe) samples — and each level's BEST
+         sample reproduced by its second-best (lo within 12%, hi within
+         30%): a best-of is only evidence when it isn't a lone spike,
       3. a ceiling sample ≥ CLEAN_AFTER immediately AFTER the pair,
       4. efficiency ≤ 1.05 (higher = the lo denominator was crippled by a
          trough the brackets missed; 1.0 < e ≤ 1.05 is jitter, clamped to 1.0).
@@ -262,8 +264,9 @@ def measure_scaling() -> dict:
     budget_sec = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "1900"))
     clean = float(os.environ.get("SPARK_GRAFT_SCALING_CLEAN_CEIL", "0.9"))
     clean_after = clean - 0.05
-    # one A-B-A attempt ~5.5 min (3 fresh JVMs + 2 ceiling brackets)
-    attempt_cost = 340.0
+    # one A-B-A attempt ~7.5 min (3 fresh JVMs, 2 timed passes each at lo,
+    # 3 at hi, + 2 ceiling brackets)
+    attempt_cost = 460.0
     t_start = time.time()
     pairs: list[dict] = []
     wait_ceils: list[float] = []
@@ -292,22 +295,28 @@ def measure_scaling() -> dict:
         hi_reps = _run_probe("--scaling-probe", hi, 2, 4)
         lo2 = _run_probe("--scaling-probe", lo, 1, 0)
         ceil1 = _ceiling(lo, hi)
+        lo_all = (lo1 or []) + (lo2 or [])
         rec: dict = {"ceil_before": round(ceil0, 3), "ceil_after": round(ceil1, 3),
                      "load1_before": round(load0, 2),
                      "load1_after": round(os.getloadavg()[0], 2),
-                     "lo_tps": [round(v) for v in (lo1 or []) + (lo2 or [])],
+                     "lo_tps": [round(v) for v in lo_all],
                      "hi_tps": [round(v) for v in (hi_reps or [])]}
         if not (lo1 and hi_reps and lo2):
             rec.update(accepted=False, reason="probe failed/timed out")
             pairs.append(rec)
             continue
-        lo_best, hi_best = max(lo1 + lo2), max(hi_reps)
-        lo_drift = abs(lo1[0] - lo2[0]) / max(lo1[0], lo2[0])
-        hi_drift = ((max(hi_reps) - min(hi_reps)) / max(hi_reps)
-                    if len(hi_reps) > 1 else 0.0)
+        # the pair ratio uses best-of per level; a best is only EVIDENCE if
+        # reproduced — the second-best sample must sit close to it.
+        # (Requiring every rep to be calm rejects the exact windows where
+        # best-of matters: this VM's troughs crush single 75s reps several
+        # times an hour. A lone spike, by contrast, stays rejected.)
+        lo_s, hi_s = sorted(lo_all, reverse=True), sorted(hi_reps, reverse=True)
+        lo_best, hi_best = lo_s[0], hi_s[0]
+        lo_gap = (lo_s[0] - lo_s[1]) / lo_s[0] if len(lo_s) > 1 else 1.0
+        hi_gap = (hi_s[0] - hi_s[1]) / hi_s[0] if len(hi_s) > 1 else 1.0
         eff_raw = (hi_best / lo_best) / (hi / lo)
-        rec["lo_drift"] = round(lo_drift, 3)
-        rec["hi_drift"] = round(hi_drift, 3)
+        rec["lo_best_gap"] = round(lo_gap, 3)
+        rec["hi_best_gap"] = round(hi_gap, 3)
         rec["efficiency_raw"] = round(eff_raw, 3)
         rec["efficiency"] = round(min(eff_raw, 1.0), 3)
         if eff_raw > 1.05:
@@ -317,16 +326,13 @@ def measure_scaling() -> dict:
             rec.update(accepted=False, reason=f"ceil_before {ceil0:.2f} < {clean}")
         elif ceil1 < clean_after:
             rec.update(accepted=False, reason=f"ceil_after {ceil1:.2f} < {clean_after}")
-        elif lo_drift > 0.15:
-            rec.update(accepted=False, reason="lo reps disagree >15%: window "
-                       "moved mid-pair")
-        elif hi_drift > 0.4:
-            # a competing few-core load (e.g. another tenant job) can crush
-            # one hi rep without denting the busy-loop ceiling on a 32-core
-            # box — wildly-disagreeing hi reps mean the window is unstable
-            # in a way the ceiling cannot see
-            rec.update(accepted=False, reason="hi reps disagree >40%: "
-                       "window unstable (invisible to the busy-loop ceiling)")
+        elif lo_gap > 0.12:
+            rec.update(accepted=False, reason="lo best not reproduced: "
+                       "second-best lo sample >12% below the best — the "
+                       "denominator could be a fluke")
+        elif hi_gap > 0.3:
+            rec.update(accepted=False, reason="hi best not reproduced: "
+                       "second-best hi sample >30% below the best")
         else:
             rec.update(accepted=True, reason=None)
         pairs.append(rec)
@@ -373,12 +379,14 @@ def measure_scaling() -> dict:
                                       if ratio_of_bests else None),
         "pairs": pairs,
         "ceilings_while_waiting": wait_ceils,
-        "method": "A-B-A fresh-process probes (lo,hi,lo) with per-pair "
-                  "busy-loop host-ceiling brackets; a pair is accepted only "
-                  "if ceil_before>=%.2f, ceil_after>=%.2f, the two lo reps "
-                  "agree within 15%%, and efficiency<=1.05; headline = median "
-                  "of accepted pairs (best-of is reported separately, not "
-                  "selected for)" % (clean, clean_after),
+        "method": "A-B-A fresh-process probes (lo,hi,lo; warm passes timed "
+                  "as extra downward-biased samples) with per-pair busy-loop "
+                  "host-ceiling brackets; pair ratio = best-of per level, "
+                  "accepted only if ceil_before>=%.2f, ceil_after>=%.2f, "
+                  "each level's best is REPRODUCED by its second-best "
+                  "(lo within 12%%, hi within 30%%), and efficiency<=1.05; "
+                  "headline = median of accepted pairs (best-of reported "
+                  "separately, never the headline)" % (clean, clean_after),
         "jvm_control": jvm_ctl,
     }
 
@@ -475,9 +483,12 @@ def scaling_probe(cpus: int, reps: int = 3, pause: float = 0.0) -> None:
     n_turns = ds.dataset(tpath).count_rows()
     spark = _new_spark(cpus)
     _warm(spark, tpath)
-    scaling_backfill(spark, tpath)  # one full warm pass (plan + worker pool)
+    # the "warm" pass is a full run too — time it and report it as a rep.
+    # It carries plan-compile + worker-startup (~1-2s), i.e. a DOWNWARD
+    # bias, which is safe under best-of (it can only win when genuinely
+    # fastest) and doubles the samples per JVM for free.
     out = []
-    for r in range(reps):
+    for r in range(reps + 1):
         if r and pause:
             time.sleep(pause)
         t0 = time.time()

@@ -100,6 +100,28 @@ def test_fetch_unseen_key(spark, events):
     assert all(v is None for v in got.values())
 
 
+def test_upload_table_bulk_load_parity(spark, events, tmp_path):
+    """GroupByUpload as a TABLE + bulk-load == direct streaming upload
+    (reference shape: GroupByUpload writes an IR table; a bulk loader ships
+    it to KV). The materialized parquet round-trip must not change a byte."""
+    from zipline_chronon_spark.online.fetcher import bulk_load, group_by_upload_df
+
+    gb = _gb()
+    t0 = ((BASE + 86_400_000) // HOP) * HOP
+
+    direct = InMemoryKv()
+    upload_batch_state(direct, spark, gb, t0)
+
+    up = group_by_upload_df(spark, gb, t0)
+    p = str(tmp_path / "upload")
+    up.write.mode("overwrite").parquet(p)  # warehouse materialization
+    loaded = InMemoryKv()
+    n = bulk_load(loaded, spark.read.parquet(p), gb, batch_end_ms=t0)
+    assert n > 6
+    for ds in (f"{gb.name}__batch", f"{gb.name}__tiles", f"{gb.name}__meta"):
+        assert loaded.data.get(ds, {}) == direct.data.get(ds, {}), ds
+
+
 def test_stream_upload_rerun_is_idempotent(spark, events):
     """Uploads are at-least-once: a RETRIED upload_stream_events of the same
     range must overwrite its previous keys (deterministic __seq), not write

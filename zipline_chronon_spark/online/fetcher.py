@@ -223,6 +223,91 @@ def _upload_ir_split(kv: KvStore, gb: GroupBy, ev: DataFrame,
     return n
 
 
+def group_by_upload_df(spark: SparkSession, gb: GroupBy,
+                       batch_end_ms: int) -> DataFrame:
+    """The GroupByUpload OUTPUT TABLE: one row per (key[, tile]) with the
+    encoded IR payload — the reference materializes exactly this shape to a
+    warehouse table that a separate bulk-load job ships into the KV store
+    (GroupByUpload.scala:112-300; here the Avro IR bytes are the JSON
+    encoding behind the same seam). Columns: keys…, __tile (null for the
+    collapsed row), __ir (binary). Write it with the catalog and bulk-load
+    later, or skip the table and stream directly via upload_batch_state."""
+    from pyspark.sql import types as T
+
+    from zipline_chronon_spark.operators import pit_join
+
+    parts = _parts(gb)
+    hop = _tile_hop(gb)
+    floor = _tile_floor(gb, batch_end_ms)
+    keys = list(gb.key_columns)
+    ev = _events(spark, gb, None, batch_end_ms)
+
+    def encode_rows(df: DataFrame, tiled: bool) -> DataFrame:
+        cols = keys + (["__tile"] if tiled else [])
+        # pandas widens nullable long columns to float64: remember which
+        # columns must encode as ints so the table round-trip is
+        # byte-identical to the direct streaming upload
+        int_cols = {f.name for f in df.schema.fields
+                    if f.dataType.typeName() in ("long", "integer", "short")}
+        schema = T.StructType(
+            [df.schema[c] for c in cols]
+            + ([] if tiled else [T.StructField("__tile", T.LongType(), True)])
+            + [T.StructField("__ir", T.BinaryType(), True)])
+
+        def enc(it):
+            import pandas as pd
+
+            def native(c, v):
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    return None
+                if hasattr(v, "item"):
+                    v = v.item()
+                if c in int_cols and isinstance(v, float):
+                    return int(v)
+                return v
+
+            for pdf in it:
+                recs = [{c: native(c, v) for c, v in r.items()}
+                        for r in pdf.to_dict("records")]
+                out = {c: [r.get(c) for r in recs] for c in cols}
+                if not tiled:
+                    out["__tile"] = [None] * len(recs)
+                out["__ir"] = [_encode(r, parts) for r in recs]
+                yield pd.DataFrame(out)
+
+        return df.mapInPandas(enc, schema=schema)
+
+    if floor is None:
+        return encode_rows(_ir_rows(ev, gb), tiled=False)
+    old = ev.where(F.col(pit_join.TS_COL) < floor)
+    recent = ev.where(F.col(pit_join.TS_COL) >= floor)
+    return encode_rows(_ir_rows(old, gb), tiled=False).unionByName(
+        encode_rows(_ir_rows(recent, gb, tile_hop=hop), tiled=True))
+
+
+def bulk_load(kv: KvStore, upload_df: DataFrame, gb: GroupBy,
+              batch_end_ms: Optional[int] = None) -> int:
+    """Ship a materialized GroupByUpload table into the KV store from the
+    executors (the reference's bulk-load step). Pass ``batch_end_ms`` to
+    also stamp the serving metadata the Fetcher reads."""
+    keys = list(gb.key_columns)
+    batch_ds, tile_ds = f"{gb.name}__batch", f"{gb.name}__tiles"
+
+    def enc(d: dict) -> tuple[str, bytes, bytes]:
+        kb = key_bytes(tuple(d[k] for k in keys))
+        if d["__tile"] is None:
+            return (batch_ds, kb, bytes(d["__ir"]))
+        return (tile_ds, kb + b"|" + str(d["__tile"]).encode(), bytes(d["__ir"]))
+
+    n = kv.write_rows(upload_df, enc)
+    if batch_end_ms is not None:
+        floor = _tile_floor(gb, batch_end_ms)
+        kv.put(f"{gb.name}__meta", b"batch_end_ms", str(batch_end_ms).encode())
+        kv.put(f"{gb.name}__meta", b"tile_floor",
+               str(floor if floor is not None else -1).encode())
+    return n
+
+
 def upload_batch_state(kv: KvStore, spark: SparkSession, gb: GroupBy,
                        batch_end_ms: int) -> int:
     """GroupByUpload: collapsed IR per key (events too old for any window
