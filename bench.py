@@ -150,6 +150,14 @@ def scaling_backfill(spark, path: str):
             Aggregation("len_text", Operation.VARIANCE, windows=(wins[3], wins[5])),
             Aggregation("len_text", Operation.MIN, windows=(wins[3],)),
             Aggregation("len_text", Operation.MAX, windows=(wins[3],)),
+            # loop kernels: keep the documented compute mix (this VM's
+            # hypervisor caps pure-bandwidth work at ~2.5-3x over 4 cores —
+            # a scalar-only probe measures that ceiling, not the engine)
+            Aggregation("len_text", Operation.APPROX_PERCENTILE,
+                        arg_map=(("percentiles", "[0.5, 0.9]"),),
+                        windows=(wins[3],)),
+            Aggregation("len_text", Operation.TOP_K, arg_map=(("k", "5"),),
+                        windows=(wins[3],)),
         ),
         tie_breaker_column="turn_idx",
     )
@@ -341,14 +349,17 @@ def measure_scaling() -> dict:
     if not pairs:
         return {"skipped": "no probe completed inside the scaling budget"}
     jvm = {c: _run_probe_scalar("--jvm-probe", c) for c in (lo, hi)}
-    jvm_ctl = {}
+    jvm_ctl, jvm_eff = {}, None
     if jvm[lo] and jvm[hi]:
+        jvm_eff = (jvm[hi] / jvm[lo]) / (hi / lo)
         jvm_ctl = {
             f"local[{lo}]_rows_per_sec": round(jvm[lo]),
             f"local[{hi}]_rows_per_sec": round(jvm[hi]),
             "speedup": round(jvm[hi] / jvm[lo], 2),
-            "note": "pure-JVM hash aggregate, no Python: upper bound on core "
-                    "delivery by this VM at these levels",
+            "parallel_efficiency": round(jvm_eff, 3),
+            "note": "pure-JVM hash aggregate, no Python: what the host "
+                    "delivers to MEMORY-BANDWIDTH-bound work at these levels "
+                    "(busy-loop ceilings only measure raw-CPU delivery)",
         }
     fallback = not acc
     all_effs = [p["efficiency"] for p in pairs if "efficiency" in p]
@@ -377,6 +388,8 @@ def measure_scaling() -> dict:
         "efficiency_best_pair": max(all_effs, default=None),
         "efficiency_ratio_of_bests": (round(min(ratio_of_bests, 1.0), 3)
                                       if ratio_of_bests else None),
+        "efficiency_vs_jvm_control": (round(eff / jvm_eff, 3)
+                                      if jvm_eff else None),
         "pairs": pairs,
         "ceilings_while_waiting": wait_ceils,
         "method": "A-B-A fresh-process probes (lo,hi,lo; warm passes timed "
@@ -475,10 +488,12 @@ def scaling_probe(cpus: int, reps: int = 3, pause: float = 0.0) -> None:
     import pyarrow.dataset as ds
 
     sf = _sf_from_dir(SF_DIR)
-    # 32x: big enough that per-rep fixed costs (scan/plan/schedule/final
-    # count, ~1-2 s) stop eating the hi-level ratio via Amdahl — measured
-    # 1->4 efficiency on a quiet host: 0.69 at 8x vs 0.97 at 32x, same code
-    mult = float(os.environ.get("SPARK_GRAFT_PROBE_MULT", "32"))
+    # big enough that per-rep fixed costs (scan/plan/schedule/final count,
+    # ~1-2 s) stop eating the hi-level ratio via Amdahl — measured 1->4
+    # efficiency on a quiet host: 0.69 at 8x vs 0.97 at 32x with the
+    # scalar-only workload. The loop-kernel workload is ~2.2x denser per
+    # turn, so 16x keeps the lo rep at the same ~70 s wall (>60 s floor)
+    mult = float(os.environ.get("SPARK_GRAFT_PROBE_MULT", "16"))
     tpath = transcripts_path(sf * mult)
     n_turns = ds.dataset(tpath).count_rows()
     spark = _new_spark(cpus)
