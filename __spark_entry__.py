@@ -745,6 +745,51 @@ def o_dedup_minhash_lsh() -> str:
     """
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components of the MinHash-LSH
+    pair graph via min-label propagation (dedup.duplicate_groups) — the
+    operator between pair emission and keep-one-per-cluster. Oracle
+    replays the same components with a DuckDB recursive CTE (labels are
+    deterministic: min doc_id per component)."""
+    from zipline_chronon_spark.operators.dedup import duplicate_groups, minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 2000")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4, max_bucket=100)
+    return duplicate_groups(docs, pairs, id_col="doc_id")
+
+
+def o_dedup_groups() -> str:
+    mins = ", ".join(f"{_o_minhash(i)} AS h{i}" for i in range(16))
+    bands = ", ".join(
+        "'%d' || '|' || %s" % (bi, " || '|' || ".join(f"h{4 * bi + j}" for j in range(4)))
+        for bi in range(4)
+    )
+    return f"""
+    WITH RECURSIVE
+    sh AS (SELECT * FROM ({_SHINGLES_SQL}) WHERE doc_id < 2000),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands0 AS (SELECT doc_id, unnest([{bands}]) AS band_key FROM sig),
+    hot AS (SELECT band_key FROM bands0 GROUP BY 1 HAVING count(*) > 100),
+    bands AS (SELECT * FROM bands0 WHERE band_key NOT IN (SELECT band_key FROM hot)),
+    p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band_key = b.band_key
+                                   AND a.doc_id < b.doc_id),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b AS src, id_a AS dst FROM p),
+    reach AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+      WHERE e2.dst <> r.src
+    ),
+    docs0 AS (SELECT doc_id FROM documents WHERE doc_id < 2000)
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS group_id
+    FROM docs0 d LEFT JOIN reach r ON r.src = d.doc_id
+    GROUP BY d.doc_id
+    """
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (60-bit md5 token hash: DuckDB-replayable)."""
     from zipline_chronon_spark.operators.dedup import simhash_near_pairs
@@ -1441,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_groups": q_dedup_groups,
         "dedup_simhash": q_dedup_simhash,
         "text_features": q_text_features,
         "fingerprint": q_fingerprint,
@@ -1475,6 +1521,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
         "dedup_minhash_sig": o_dedup_minhash_sig(),
         "dedup_minhash_lsh": o_dedup_minhash_lsh(),
+        "dedup_groups": o_dedup_groups(),
         "dedup_simhash": o_dedup_simhash(),
         "text_features": o_text_features(),
         "fingerprint": o_fingerprint(),

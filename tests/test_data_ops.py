@@ -73,3 +73,20 @@ def test_lsh_vs_brute_force(embeddings):
     n = embeddings.count()
     random_recall = 3 / (n - 1)
     assert recall > 5 * random_recall, (recall, random_recall)
+
+
+def test_duplicate_groups_components(spark):
+    """Connected components over a pair list: chains collapse to one
+    min-labeled group, singletons label themselves, and propagation
+    converges past diameter > 1 (the label must travel hops)."""
+    import pandas as pd
+
+    from zipline_chronon_spark.operators.dedup import duplicate_groups
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(10))}))
+    # chain 0-1-2-3-4 (diameter 4), pair (6,7), singletons 5, 8, 9
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 1, 2, 3, 6], "id_b": [1, 2, 3, 4, 7]}))
+    got = {r["doc_id"]: r["group_id"]
+           for r in duplicate_groups(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6, 8: 8, 9: 9}

@@ -291,3 +291,52 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def duplicate_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from a pair list: connected components of
+    the (id_a, id_b) graph, each node labeled with the MIN id of its
+    component — the step between pair emission (minhash_lsh_pairs /
+    simhash_near_pairs / ngram_jaccard_pairs) and "keep one document per
+    cluster". Returns (id, group_id); singletons label themselves.
+
+    Algorithm: min-label propagation — each iteration every node takes the
+    smallest label among itself and its neighbors, so labels travel one
+    hop per iteration and the loop converges in component-diameter
+    iterations (near-dup graphs are short-diameter by construction: dup
+    clusters are dense). Each iteration is ONE join + ONE groupBy keyed on
+    node id; lineage is cut with localCheckpoint per round so the plan
+    does not deepen. Convergence is detected with a changed-label count
+    (an aggregate, not a collect). At billion-edge scale swap the body for
+    the alternating small-star/large-star contraction (same seam: this
+    function's contract is just pairs -> labels); the propagation form is
+    the right tool below that, and is exactly reproducible in SQL (the
+    DuckDB oracle replays it with a recursive CTE)."""
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    labels = (df.select(F.col(id_col).alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr = (edges.join(labels.select(F.col("id").alias("dst"),
+                                        F.col("label").alias("dlabel")), "dst")
+               .groupBy("src").agg(F.min("dlabel").alias("nmin")))
+        new = (labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
+               .select("id", F.least(F.col("label"),
+                                     F.coalesce("nmin", "label")).alias("label")))
+        new = new.localCheckpoint(eager=True)
+        changed = (new.alias("n").join(labels.alias("o"), "id")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("label").alias("group_id"))
