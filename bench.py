@@ -227,7 +227,7 @@ def main() -> None:
         scaling = measure_scaling()
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    full = {
         "metric": "pit_backfill_total_sec",
         "value": total,
         "unit": "sec",
@@ -236,7 +236,49 @@ def main() -> None:
         "turns": int(n_turns),
         "turns_per_sec": round(n_turns / t_flagship),
         "scaling": scaling,
-    }))
+    }
+    # full evidence (per-pair rep lists, ceiling brackets, method prose) goes
+    # to a SIDE FILE; stdout gets ONE COMPACT line — round 4 lost its entire
+    # bench artifact because the fat line outgrew the driver's stdout-tail
+    # capture (BENCH_r04.json "parsed": null)
+    evidence_path = os.path.join(REPO, "BENCH_evidence_last.json")
+    try:
+        with open(evidence_path, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        evidence_path = None
+    line = json.dumps(compact_result(full, os.path.basename(evidence_path)
+                                     if evidence_path else None))
+    assert len(line) < 4096, f"bench stdout line too big: {len(line)}"
+    print(line)
+
+
+def compact_result(full: dict, evidence_file: str | None) -> dict:
+    """The stdout-contract view of a bench result: everything the gate
+    grades (headline time, per-query timings, turns/sec, scaling headline +
+    acceptance evidence counts + vs-JVM-control ratio) and NOTHING
+    per-pair. Must stay well under 4 KB — tests/test_bench_contract.py
+    pins it against a worst-case scaling blob."""
+    sc = full.get("scaling") or {}
+    csc: dict = {}
+    for k, v in sc.items():
+        if k in ("pairs", "ceilings_while_waiting", "method", "jvm_control",
+                 "all_pair_efficiencies"):
+            continue  # evidence-file material
+        csc[k] = v
+    if "pairs" in sc:
+        csc["n_pairs_attempted"] = len(sc["pairs"])
+        csc["n_pairs_accepted"] = sum(1 for p in sc["pairs"] if p.get("accepted"))
+    jc = sc.get("jvm_control") or {}
+    if jc.get("parallel_efficiency") is not None:
+        # weather-invariant: the engine's efficiency relative to what the
+        # host delivered a pure-JVM hash aggregate in the same minutes
+        csc["jvm_control_parallel_efficiency"] = jc["parallel_efficiency"]
+    if evidence_file:
+        csc["evidence_file"] = evidence_file
+    out = dict(full)
+    out["scaling"] = csc
+    return out
 
 
 def measure_scaling() -> dict:

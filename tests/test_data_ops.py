@@ -90,3 +90,42 @@ def test_duplicate_groups_components(spark):
     got = {r["doc_id"]: r["group_id"]
            for r in duplicate_groups(docs, pairs).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6, 8: 8, 9: 9}
+
+
+def test_duplicate_groups_adversarial_chain_and_star(spark):
+    """Pins the convergence claims before anyone trusts them on a real
+    pair graph (round-4 verdict #6): a long CHAIN (diameter ~= the
+    iteration budget) must still produce exact labels, a giant STAR
+    (diameter 2) must converge in a couple of rounds regardless of fan-out,
+    and a chain LONGER than max_iters must raise, not return split
+    components."""
+    import pandas as pd
+
+    from zipline_chronon_spark.operators.dedup import duplicate_groups
+
+    # chain of 41 nodes: min-label propagation moves the 0 label one hop
+    # per iteration -> needs 40 < default max_iters = 50 iterations
+    n = 41
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": list(range(n - 1)), "id_b": list(range(1, n))}))
+    got = {r["doc_id"]: r["group_id"]
+           for r in duplicate_groups(docs, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+    # giant star: hub 0 with 500 leaves — diameter 2, must converge fast
+    leaves = list(range(1, 501))
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [0] + leaves}))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": [0] * len(leaves), "id_b": leaves}))
+    got = {r["doc_id"]: r["group_id"]
+           for r in duplicate_groups(docs, pairs, max_iters=4).collect()}
+    assert set(got.values()) == {0} and len(got) == 501
+
+    # chain deeper than the cap: must raise, never silently split
+    n = 8
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": list(range(n - 1)), "id_b": list(range(1, n))}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_groups(docs, pairs, max_iters=3)

@@ -184,3 +184,26 @@ def test_mutation_decode_stream(spark, tmp_path):
                         T.StructField("ts_ms", T.LongType())])
     with _pt.raises(ValueError, match="mutation_ts"):
         decode_mutation_events(raw, bad, ts_col="ts_ms")
+
+
+def test_time_travel_before_batch_day_raises(spark, cdc):
+    """A fetch with at_ts_ms EARLIER than the uploaded batch day must
+    raise (round-4 advice): batch snapshot tiles are not bounded by T at
+    merge time, so serving such a fetch would silently over-count snapshot
+    rows with ts > T. Same assumption as the reference fetcher
+    (T >= batchEnd)."""
+    snap_pdf, mut_pdf, snap, mut = cdc
+    gb = _gb(snap, mut)
+    d = BASE_DAY + 2
+    ds = pd.Timestamp(d * MS_DAY, unit="ms").strftime("%Y-%m-%d")
+    kv = InMemoryKv()
+    upload_entity_batch_state(kv, spark, gb, ds)
+    f = EntityFetcher(kv, gb)
+    assert f.batch_day_ms is not None
+    key0 = snap_pdf["key"].iloc[0]
+    key0 = key0.item() if hasattr(key0, "item") else key0
+    with pytest.raises(ValueError, match="precedes the uploaded batch day"):
+        f.fetch((key0,), at_ts_ms=f.batch_day_ms - 1)
+    # at exactly the batch day it serves
+    got = f.fetch((key0,), at_ts_ms=f.batch_day_ms)
+    assert isinstance(got, dict)

@@ -229,3 +229,68 @@ def test_dirkv_executor_path_parity(spark, events, tmp_path):
                 assert abs(a[c] - b[c]) < 1e-6 + 1e-9 * abs(b[c]), (key, c)
             else:
                 assert a[c] == b[c], (key, c)
+
+
+def test_all_null_window_sum_is_null(spark):
+    """An all-null window must serve SUM as NULL, not 0 (round-4 advice):
+    the {nm}__count ride-along on SUM IRs encodes 0 for an all-null tile,
+    which must not make finalize_part treat the part as 'present'. Pins
+    offline compute_group_by == online Fetcher == batch approx engine."""
+    from zipline_chronon_spark.operators.approx_engine import compute_group_by_approx
+
+    t0 = ((BASE + 86_400_000) // HOP) * HOP
+    t1 = t0 + 10 * 3_600_000
+    pdf = pd.DataFrame({
+        # key "n": all-NULL v rows BEFORE batch end (land in batch tail
+        # tiles, whose encoded IR carries only {nm}__count: 0) AND after
+        # (raw stream head events) -> SUM/COUNT must serve NULL, not 0
+        # key "p": normal rows -> SUM real
+        "k": ["n", "n", "n", "n", "p", "p"],
+        "ts_ms": [t0 - 3 * 3_600_000, t0 - 2 * 3_600_000, t0 - 3_600_000,
+                  t1 - 600_000,
+                  t0 - 3_600_000, t1 - 600_000],
+        "v": [None, None, None, None, 2.5, 4.0],
+    }).astype({"ts_ms": "int64"})
+    spark.createDataFrame(pdf).createOrReplaceTempView("nullsum_events")
+    gb = GroupBy(
+        name="nullsum",
+        sources=(EventSource(table="nullsum_events",
+                             query=Query(time_column="ts_ms")),),
+        key_columns=("k",),
+        aggregations=(
+            Aggregation("v", Operation.SUM,
+                        windows=(None, Window(1, TimeUnit.DAYS))),
+            Aggregation("v", Operation.COUNT,
+                        windows=(Window(1, TimeUnit.DAYS),)),
+            Aggregation("v", Operation.AVERAGE, windows=(None,)),
+        ),
+    )
+    kv = InMemoryKv()
+    upload_batch_state(kv, spark, gb, t0)
+    upload_stream_events(kv, spark, gb, t0, t1)
+    f = Fetcher(kv, gb)
+
+    offline = (compute_key_states(spark, gb, at_ts_ms=t1)
+               .toPandas().set_index("k"))
+    q = spark.createDataFrame(
+        pd.DataFrame({"k": ["n", "p"], "ts_ms": [t1, t1],
+                      "__row_id": [0, 1]})
+        .astype({"ts_ms": "int64", "__row_id": "int64"}))
+    approx = (compute_group_by_approx(spark, gb, q, row_id="__row_id",
+                                      query_time_col="ts_ms")
+              .toPandas()
+              .merge(pd.DataFrame({"k": ["n", "p"], "__row_id": [0, 1]}),
+                     on="__row_id")
+              .set_index("k"))
+
+    for eng, row_n in [("fetch", f.fetch(("n",), at_ts_ms=t1)),
+                       ("offline", offline.loc["n"].to_dict()),
+                       ("approx", approx.loc["n"].to_dict())]:
+        # COUNT follows reference semantics too: null inputs never
+        # initialize the IR, so count-of-nothing renders NULL (the driver
+        # oracles encode the same CASE WHEN count=0 THEN NULL)
+        for c in ("v_sum", "v_sum_1d", "v_average", "v_count_1d"):
+            v = row_n[c]
+            assert v is None or (isinstance(v, float) and np.isnan(v)), (eng, c, v)
+    got_p = f.fetch(("p",), at_ts_ms=t1)
+    assert abs(got_p["v_sum_1d"] - 6.5) < 1e-9

@@ -160,3 +160,41 @@ def test_lambda_merge_order_invariance(spark, events):
     assert a["cat_approx_unique_count"].tolist() == b["cat_approx_unique_count"].tolist()
     for g, e in zip(a["v_approx_percentile"], b["v_approx_percentile"]):
         np.testing.assert_allclose(list(g), list(e), rtol=0, atol=1e-12)
+
+
+def test_windowed_lambda_merge_live_stream_ahead_of_fetch(spark, events):
+    """A live stream's tile store can hold hops AT or AFTER the fetch
+    point (round-4 advice): those tiles must not be counted, or every
+    fetch in a catch-up scenario over-counts. The head is quantized to the
+    hop (the tile containing at_ts_ms is kept whole) — so fetch at a
+    TILE-ALIGNED t1 and feed events beyond it; the result must equal the
+    batch engine at t1."""
+    gb = _gb_windowed()
+    t0 = ((BASE + 86_400_000) // HOP_MS) * HOP_MS
+    t1 = t0 + 12 * 3_600_000  # tile-aligned (both are HOP_MS multiples)
+
+    df = spark.table("lam_events")
+    batch_tiles = lambda_merge.sketch_tiles(
+        df.where(F.col("ts_ms") <= t0), gb, HOP_MS, ts_col="ts_ms")
+    # stream runs PAST the fetch point: tiles exist at hops >= t1
+    stream_tiles = lambda_merge.sketch_tiles(
+        df.where(F.col("ts_ms") > t0), gb, HOP_MS, ts_col="ts_ms")
+    assert stream_tiles.where(F.col("hop_start_ms") >= t1).count() > 0
+
+    got = (lambda_merge.lambda_finalized(batch_tiles, stream_tiles, gb,
+                                         at_ts_ms=t1 - 1)
+           .toPandas().set_index("k").sort_index())
+    # at_ts_ms = t1-1: kept tiles are exactly those with hop_start < t1,
+    # i.e. events with ts <= t1-1... plus the rest of the head tile, which
+    # is EMPTY here only if no event falls in [t1, next hop). To keep the
+    # oracle exact regardless, compare against the batch engine evaluated
+    # at the END of the head tile minus nothing — i.e. quantized head:
+    # batch at (last kept hop end - 1) == batch over ts < t1.
+    exp = (compute_key_states(spark, gb, at_ts_ms=t1 - 1)
+           .toPandas().set_index("k").sort_index())
+    # the head hop [t1-HOP, t1) is fully kept by both (tile whole, batch
+    # ts <= t1-1), tiles at >= t1 dropped by the fix -> exact parity for
+    # the unbounded parts
+    assert list(got.index) == list(exp.index)
+    assert (got["cat_approx_unique_count"].tolist()
+            == exp["cat_approx_unique_count"].tolist())

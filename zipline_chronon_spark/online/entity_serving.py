@@ -192,6 +192,15 @@ class EntityFetcher:
         self.batch_day_ms = int(bd) if bd is not None else None
 
     def fetch(self, key_values: tuple, at_ts_ms: int) -> dict:
+        # batch snapshot tiles are not bounded by T at merge time, so a
+        # fetch BEFORE the uploaded batch day would silently over-count
+        # snapshot rows with ts > T — same assumption as the reference
+        # fetcher (T >= batchEnd; Fetcher.scala lambda merge)
+        if self.batch_day_ms is not None and at_ts_ms < self.batch_day_ms:
+            raise ValueError(
+                f"at_ts_ms={at_ts_ms} precedes the uploaded batch day "
+                f"({self.batch_day_ms}); time-travel before the batch "
+                f"snapshot is not servable from this state")
         kb = key_bytes(key_values)
         collapsed = None
         b = self.kv.get(f"{self.gb.name}__batch", kb)

@@ -498,9 +498,21 @@ def finalize_part(p, irs: list[dict], evs: list[dict]):
     if not have and not vals:
         return None
     if op == Operation.SUM:
-        return sum(ir.get(f"{nm}__sum", 0) for ir in have) + sum(vals)
+        # gate on the __sum key specifically: an all-null tile encodes only
+        # {nm}__count: 0 (0 survives _encode's None filter), which must NOT
+        # turn a NULL sum into 0 — the exact batch engine returns NULL when
+        # every in-window value is null. __count stays consumed only by the
+        # entity tier's _signed_scalar.
+        cands = [ir[f"{nm}__sum"] for ir in have if f"{nm}__sum" in ir]
+        if not cands and not vals:
+            return None
+        return sum(cands) + sum(vals)
     if op == Operation.COUNT:
-        return sum(ir.get(f"{nm}__count", 0) for ir in have) + len(vals)
+        # count-of-nothing renders NULL, not 0 (reference semantics: null
+        # inputs never initialize the IR) — an all-null tile's __count: 0
+        # must not make the part look present
+        c = sum(ir.get(f"{nm}__count", 0) for ir in have) + len(vals)
+        return c if c else None
     if op == Operation.AVERAGE:
         s = sum(ir.get(f"{nm}__sum", 0) for ir in have) + sum(vals)
         c = sum(ir.get(f"{nm}__count", 0) for ir in have) + len(vals)

@@ -325,6 +325,7 @@ def duplicate_groups(
     labels = (df.select(F.col(id_col).alias("id")).distinct()
               .withColumn("label", F.col("id")))
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         nbr = (edges.join(labels.select(F.col("id").alias("dst"),
                                         F.col("label").alias("dlabel")), "dst")
@@ -337,6 +338,14 @@ def duplicate_groups(
                    .where(F.col("n.label") != F.col("o.label")).count())
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # partially-propagated labels are WRONG clusters (components split
+        # by the iteration cap), never return them silently
+        raise RuntimeError(
+            f"duplicate_groups did not converge within max_iters={max_iters} "
+            f"(component diameter exceeds the cap); raise max_iters or swap "
+            f"in the small-star/large-star contraction for this graph")
     return labels.select(F.col("id").alias(id_col),
                          F.col("label").alias("group_id"))

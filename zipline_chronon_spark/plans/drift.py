@@ -138,15 +138,16 @@ def drift_series(
     fn = _METRICS[metric]
     pdf = summaries.select("ds", "column", "bin_counts").toPandas()
     ds_sorted = sorted(pdf["ds"].unique())
-    by_key = {(r["ds"], r["column"]): r["bin_counts"] for _, r in pdf.iterrows()}
+    by_key = dict(zip(zip(pdf["ds"], pdf["column"]), pdf["bin_counts"]))
+    cols_by_ds = pdf.groupby("ds")["column"].agg(lambda s: sorted(s.unique()))
     rows = []
     for i, d in enumerate(ds_sorted):
         if i < offset:
             continue
         prev = ds_sorted[i - offset]
-        for c in sorted(pdf[pdf["ds"] == d]["column"].unique()):
+        for c in cols_by_ds[d]:
             cur_h, prev_h = by_key.get((d, c)), by_key.get((prev, c))
-            if not cur_h or not prev_h:
+            if cur_h is None or prev_h is None or not len(cur_h) or not len(prev_h):
                 continue
             rows.append((d, prev, c, float(fn(dict(cur_h), dict(prev_h)))))
     return summaries.sparkSession.createDataFrame(

@@ -221,7 +221,14 @@ def sawtooth_finalized(batch_tiles: DataFrame, stream_tiles: DataFrame,
     b = batch_tiles
     if "hop_start_ms" not in b.columns:
         b = b.withColumn("hop_start_ms", F.lit(None).cast("long"))
-    union = b.unionByName(stream_tiles)
+    # upper bound: a live stream can hold tiles at/after the fetch point;
+    # merge_state applies only the window-tail LOWER bound, so without this
+    # filter, tiles entirely AFTER the fetch point would be fully counted.
+    # The head is quantized to the hop here: the tile containing at_ts_ms
+    # is kept whole — unlike the Fetcher, which keeps raw head events and
+    # cuts exactly at ts <= T.
+    union = b.unionByName(stream_tiles).where(
+        F.col("hop_start_ms").isNull() | (F.col("hop_start_ms") <= F.lit(at_ts_ms)))
 
     out_schema = union.select(*keys).schema
     for pt in parts:
