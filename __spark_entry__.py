@@ -1080,11 +1080,11 @@ def q_online_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = Fetcher(kv, gb)
     users = sorted(r[0] for r in spark.read.parquet(f"{sf_dir}/events.parquet")
                    .where("user_id < 100").select("user_id").distinct().collect())
-    rows = []
-    for u in users:
-        got = f.fetch((u,), at_ts_ms=T1)
-        rows.append((int(u), got["value_sum_1d"], got["value_count"],
-                     got["value_max_6h"]))
+    # request-batched serving (one scan pass per dataset) — per-key results
+    # identical to fetch(); parity pinned in tests/test_fetcher.py
+    fetched = f.fetch_batch([(u,) for u in users], at_ts_ms=T1)
+    rows = [(int(u), got["value_sum_1d"], got["value_count"],
+             got["value_max_6h"]) for u, got in zip(users, fetched)]
     sdf = spark.createDataFrame(
         rows, schema="user_id long, sum_1d double, cnt_all long, max_6h double")
     return sdf.select(
@@ -1294,11 +1294,10 @@ def q_entity_online_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     upload_entity_batch_state(kv, spark, gb, ds_str)
     upload_mutation_events(kv, spark, gb, eod - 1, T1)
     f = EntityFetcher(kv, gb)
-    users = sorted(r[0] for r in ev.select("user_id").distinct().collect())
-    out = []
-    for u in users:
-        got = f.fetch((int(u),), at_ts_ms=T1)
-        out.append((int(u), got["value_sum_7d"], got["value_count"]))
+    users = sorted(int(r[0]) for r in ev.select("user_id").distinct().collect())
+    fetched = f.fetch_batch([(u,) for u in users], at_ts_ms=T1)
+    out = [(u, got["value_sum_7d"], got["value_count"])
+           for u, got in zip(users, fetched)]
     sdf = spark.createDataFrame(
         out, schema="user_id long, sum_7d double, cnt_all long")
     return sdf.select(

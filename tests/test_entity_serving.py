@@ -207,3 +207,27 @@ def test_time_travel_before_batch_day_raises(spark, cdc):
     # at exactly the batch day it serves
     got = f.fetch((key0,), at_ts_ms=f.batch_day_ms)
     assert isinstance(got, dict)
+
+
+def test_entity_fetch_batch_parity(spark, cdc):
+    """EntityFetcher.fetch_batch == per-key fetch, incl. the time-travel
+    guard."""
+    snap_pdf, mut_pdf, snap, mut = cdc
+    gb = _gb(snap, mut)
+    d = BASE_DAY + 2
+    ds = pd.Timestamp(d * MS_DAY, unit="ms").strftime("%Y-%m-%d")
+    T1 = d * MS_DAY + 17 * 3_600_000 + 123_456
+    kv = InMemoryKv()
+    upload_entity_batch_state(kv, spark, gb, ds)
+    upload_mutation_events(kv, spark, gb, d * MS_DAY - 1, T1)
+    f = EntityFetcher(kv, gb)
+    keys = sorted({k.item() if hasattr(k, "item") else k
+                   for k in snap_pdf["key"]})
+    batch = f.fetch_batch([(k,) for k in keys], at_ts_ms=T1)
+    for k, got in zip(keys, batch):
+        one = f.fetch((k,), at_ts_ms=T1)
+        assert got == one or all(
+            (a := got[c]) == (b := one[c])
+            or (isinstance(a, float) and abs(a - b) < 1e-12) for c in one), k
+    with pytest.raises(ValueError, match="precedes the uploaded batch day"):
+        f.fetch_batch([(keys[0],)], at_ts_ms=f.batch_day_ms - 1)

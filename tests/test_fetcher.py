@@ -294,3 +294,26 @@ def test_all_null_window_sum_is_null(spark):
             assert v is None or (isinstance(v, float) and np.isnan(v)), (eng, c, v)
     got_p = f.fetch(("p",), at_ts_ms=t1)
     assert abs(got_p["v_sum_1d"] - 6.5) < 1e-9
+
+
+def test_fetch_batch_parity(spark, events):
+    """fetch_batch (one scan pass per dataset) must be per-key identical to
+    fetch — including unseen keys and derivations off/on."""
+    gb = _gb()
+    t0 = ((BASE + 86_400_000) // HOP) * HOP
+    t1 = t0 + 10 * 3_600_000
+    kv = InMemoryKv()
+    upload_batch_state(kv, spark, gb, t0)
+    upload_stream_events(kv, spark, gb, t0, t1)
+    f = Fetcher(kv, gb)
+    keys = [("0",), ("3",), ("nope",), ("5",), ("1",)]
+    batch = f.fetch_batch(keys, at_ts_ms=t1)
+    for kt, got in zip(keys, batch):
+        one = f.fetch(kt, at_ts_ms=t1)
+        assert got.keys() == one.keys(), kt
+        for c in one:
+            a, b = got[c], one[c]
+            if isinstance(b, float):
+                assert abs(a - b) < 1e-12, (kt, c)
+            else:
+                assert a == b, (kt, c)

@@ -214,3 +214,38 @@ class EntityFetcher:
         return merge_mutation_state(self.parts, collapsed, tiles, muts,
                                     at_ts_ms,
                                     allow_insert_only=self.allow_insert_only)
+
+    def fetch_batch(self, key_tuples: list[tuple], at_ts_ms: int) -> list[dict]:
+        """Many keys in ONE pass per dataset — per-key results identical to
+        ``fetch`` (see Fetcher.fetch_batch for the scan-complexity
+        rationale)."""
+        from collections import defaultdict
+
+        if self.batch_day_ms is not None and at_ts_ms < self.batch_day_ms:
+            raise ValueError(
+                f"at_ts_ms={at_ts_ms} precedes the uploaded batch day "
+                f"({self.batch_day_ms}); time-travel before the batch "
+                f"snapshot is not servable from this state")
+        name = self.gb.name
+        kbs = [key_bytes(k) for k in key_tuples]
+        want = set(kbs)
+        collapsed: dict[bytes, dict] = {}
+        for kb in want:
+            b = self.kv.get(f"{name}__batch", kb)
+            if b is not None:
+                collapsed[kb] = json.loads(b)
+        tiles: dict[bytes, list] = defaultdict(list)
+        for k, v in self.kv.scan(f"{name}__tiles"):
+            kb = k.rsplit(b"|", 1)[0]
+            if kb in want:
+                tiles[kb].append((int(k.rsplit(b"|", 1)[1]), json.loads(v)))
+        muts: dict[bytes, list] = defaultdict(list)
+        for k, v in self.kv.scan(f"{name}__mutations"):
+            kb = k.rsplit(b"|", 2)[0]
+            if kb in want:
+                muts[kb].append(json.loads(v))
+        return [merge_mutation_state(self.parts, collapsed.get(kb),
+                                     tiles.get(kb, []), muts.get(kb, []),
+                                     at_ts_ms,
+                                     allow_insert_only=self.allow_insert_only)
+                for kb in kbs]
