@@ -91,3 +91,87 @@ def test_compact_line_handles_skipped_scaling():
     full["scaling"] = {"skipped": "no probe completed inside the scaling budget"}
     parsed = json.loads(json.dumps(bench.compact_result(full, "e.json")))
     assert parsed["scaling"]["skipped"]
+
+
+class _FakeTime:
+    """Deterministic clock for measure_scaling: each time() call advances
+    by ``step`` so the budget drains predictably without real sleeps."""
+
+    def __init__(self, step):
+        self.t, self.step = 0.0, step
+
+    def time(self):
+        self.t += self.step
+        return self.t
+
+    def sleep(self, s):
+        self.t += s
+
+
+def _run_scaling(monkeypatch, probe_seq, jvm_seq, ceil=1.0, budget="600",
+                 step=300.0):
+    """Drive measure_scaling with scripted probe results (no Spark)."""
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_BUDGET_SEC", budget)
+    probes, jvms = list(probe_seq), list(jvm_seq)
+    monkeypatch.setattr(bench, "_ceiling", lambda lo, hi, samples=2: ceil)
+    monkeypatch.setattr(bench, "_run_probe",
+                        lambda mode, cpus, *a: probes.pop(0) if probes else None)
+    monkeypatch.setattr(bench, "_run_probe_scalar",
+                        lambda mode, cpus, *a: jvms.pop(0) if jvms else None)
+    monkeypatch.setattr(bench, "time", _FakeTime(step))
+    return bench.measure_scaling()
+
+
+def test_scaling_rejects_low_pair_in_degraded_window(monkeypatch):
+    """r4 failure mode: clean busy-loop ceilings but the same window's
+    pure-JVM control collapsed — an accepted-but-low pair must NOT happen;
+    it is rejected with the control as evidence, and eff_vs_control is
+    still recorded (weather-invariant number)."""
+    # one attempt: lo [100, 99], hi [230, 225, 228], lo2 -> eff 0.575
+    sc = _run_scaling(
+        monkeypatch,
+        probe_seq=[[100.0, 99.0], [230.0, 225.0, 228.0], [100.0, 98.0]],
+        jvm_seq=[100.0, 266.8],  # control scales 2.668x/4 = 0.667 < 0.75
+        budget="600",  # one attempt (clock step 300 drains it)
+    )
+    [pair] = sc["pairs"]
+    assert pair["accepted"] is False
+    assert "window degraded" in pair["reason"]
+    assert pair["jvm_control_eff"] == 0.667
+    assert pair["eff_vs_control"] == round((230 / 100 / 4) / 0.667, 3)
+    assert sc["fallback_no_accepted_pair"] is True
+    # headline vs-control survives the storm
+    assert sc["efficiency_vs_jvm_control"] == pair["eff_vs_control"]
+
+
+def test_scaling_accepts_clean_pair_and_stops(monkeypatch):
+    """A single accepted >=0.8 pair (clean ceilings, reproduced bests,
+    healthy same-window control) ends the loop — round-4 verdict #2."""
+    sc = _run_scaling(
+        monkeypatch,
+        probe_seq=[[100.0, 99.0], [340.0, 335.0, 338.0], [100.0, 98.0],
+                   # a second attempt's probes, which must NOT be consumed
+                   [1.0], [1.0], [1.0]],
+        jvm_seq=[100.0, 360.0, 100.0, 360.0],  # control 0.9
+        budget="100000", step=30.0,
+    )
+    assert len(sc["pairs"]) == 1
+    [pair] = sc["pairs"]
+    assert pair["accepted"] is True
+    assert pair["efficiency"] == 0.85
+    assert sc["efficiency"] == 0.85
+    assert sc["fallback_no_accepted_pair"] is False
+    assert sc["jvm_control"]["parallel_efficiency"] == 0.9
+
+
+def test_scaling_accepts_high_pair_despite_degraded_window(monkeypatch):
+    """Out-scaling a degraded window is stronger evidence, not weaker:
+    eff >= 0.8 accepts even when the control collapsed."""
+    sc = _run_scaling(
+        monkeypatch,
+        probe_seq=[[100.0, 99.0], [340.0, 335.0, 338.0], [100.0, 98.0]],
+        jvm_seq=[100.0, 266.8],
+        budget="600",
+    )
+    [pair] = sc["pairs"]
+    assert pair["accepted"] is True and pair["efficiency"] == 0.85
