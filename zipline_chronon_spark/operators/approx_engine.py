@@ -162,6 +162,185 @@ def _build_union(
     return union, ev, ir_cols
 
 
+def _make_columnar_serve(parts, ir_cols, inputs, out_schema, out_fields):
+    """Segment-vectorized replacement for the per-query merge_state loop
+    (round-4 verdict #10): scalar ops aggregate whole batches of query
+    points with pandas-groupby/C kernels; only the sketch blobs keep a
+    per-segment python merge (the merge of opaque sketch state is
+    irreducibly per-object). Semantics pinned to online/fetcher.py
+    finalize_part by tests/test_approx_engine.py (approx == exact == online
+    for every op, incl. the all-null-window NULL rule)."""
+    import numpy as np
+
+    from zipline_chronon_spark.api import Operation
+
+    def _num(pdf, col):
+        return pd.to_numeric(pdf[col], errors="coerce").to_numpy(
+            dtype=np.float64, copy=False)
+
+    def _obj(pdf, col):
+        return pdf[col].to_numpy(dtype=object)
+
+    def serve(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        rid = pdf[ROW_ID].to_numpy()
+        starts = np.flatnonzero(np.r_[True, rid[1:] != rid[:-1]])
+        nseg = len(starts)
+        seg_len = np.diff(np.r_[starts, n])
+        seg_id = np.repeat(np.arange(nseg), seg_len)
+        Ts = pdf["__T"].to_numpy(dtype=np.int64)
+        kind = pdf["__kind"].to_numpy()
+        tile = _num(pdf, "__tile")
+        e_ts = _num(pdf, "__e_ts")
+        is_tile, is_ev, is_col = kind == 0, kind == 1, kind == 2
+
+        def seg_from_mask(values, mask, how):
+            """Aggregate values[mask] per segment; None where a segment has
+            no masked rows. `values` is a numpy array (float or object)."""
+            out = np.full(nseg, None, dtype=object)
+            if not mask.any():
+                return out
+            s = pd.Series(values[mask]).groupby(seg_id[mask], sort=True).agg(how)
+            out[s.index.to_numpy()] = s.to_numpy(dtype=object)
+            return out
+
+        result: dict = {ROW_ID: rid[starts]}
+        ev_num_cache: dict = {}
+        ev_obj_cache: dict = {}
+
+        def ev_num(col):
+            if col not in ev_num_cache:
+                ev_num_cache[col] = _num(pdf, f"__e_{col}")
+            return ev_num_cache[col]
+
+        def ev_obj(col):
+            if col not in ev_obj_cache:
+                ev_obj_cache[col] = _obj(pdf, f"__e_{col}")
+            return ev_obj_cache[col]
+
+        for p in parts:
+            nm, op, col = p.output_name, p.operation, p.input_column
+            if p.window is None:
+                inc_ir = is_tile | is_col
+                inc_ev = is_ev
+            else:
+                hop = p.window.tail_hop_millis()
+                tail = ((Ts - p.window.millis) // hop) * hop
+                with np.errstate(invalid="ignore"):
+                    inc_ir = is_tile & (tile >= tail)   # NaN compares False
+                    inc_ev = is_ev & (e_ts >= tail)
+
+            if op in fl.SKETCH_OPS:
+                result[nm] = _sketch_segments(
+                    p, _obj(pdf, f"{nm}__sk"), ev_obj(col),
+                    inc_ir, inc_ev, starts, seg_len, nseg)
+                continue
+
+            if op in (Operation.SUM, Operation.AVERAGE):
+                ir_sum = _num(pdf, f"{nm}__sum")
+                ev_v = ev_num(col)
+                s_comb = np.where(inc_ir, ir_sum,
+                                  np.where(inc_ev, ev_v, np.nan))
+                s_seg = seg_from_mask(s_comb, ~np.isnan(s_comb), "sum")
+                if op == Operation.SUM:
+                    result[nm] = s_seg
+                else:
+                    ir_cnt = _num(pdf, f"{nm}__count")
+                    c_comb = np.where(
+                        inc_ir, ir_cnt,
+                        np.where(inc_ev & ~np.isnan(ev_v), 1.0, np.nan))
+                    c_seg = seg_from_mask(c_comb, ~np.isnan(c_comb), "sum")
+                    result[nm] = np.array(
+                        [float(s) / c if (c is not None and c > 0) else None
+                         for s, c in zip(
+                             (x if x is not None else 0.0 for x in s_seg),
+                             c_seg)], dtype=object)
+            elif op == Operation.COUNT:
+                ir_cnt = _num(pdf, f"{nm}__count")
+                evv = ev_num(col)
+                c_comb = np.where(
+                    inc_ir, ir_cnt,
+                    np.where(inc_ev & ~np.isnan(evv), 1.0, np.nan))
+                c_seg = seg_from_mask(c_comb, ~np.isnan(c_comb), "sum")
+                # count-of-nothing renders NULL (finalize_part rule)
+                result[nm] = np.array(
+                    [int(c) if (c is not None and c > 0) else None
+                     for c in c_seg], dtype=object)
+            elif op in (Operation.MIN, Operation.MAX):
+                suffix = "min" if op == Operation.MIN else "max"
+                ir_v = _obj(pdf, f"{nm}__{suffix}")
+                evo = ev_obj(col)
+                vals = np.where(inc_ir, ir_v, np.where(inc_ev, evo, None))
+                mask = ~pd.isna(vals)
+                result[nm] = seg_from_mask(vals, mask, suffix)
+            else:  # FIRST / LAST: value at extreme ts among included rows
+                ir_ts = _num(pdf, f"{nm}__ts")
+                ir_v = _obj(pdf, f"{nm}__v")
+                evo = ev_obj(col)
+                ev_valid = ~pd.isna(evo)
+                key = np.where(inc_ir & ~np.isnan(ir_ts), ir_ts,
+                               np.where(inc_ev & ev_valid, e_ts, np.nan))
+                mask = ~np.isnan(key)
+                vals = np.where(inc_ir, ir_v, np.where(inc_ev, evo, None))
+                out_col = np.full(nseg, None, dtype=object)
+                if mask.any():
+                    pos = np.flatnonzero(mask)
+                    s = pd.Series(key[mask])
+                    g = s.groupby(seg_id[mask], sort=True)
+                    idx_local = (g.idxmin() if op == Operation.FIRST
+                                 else g.idxmax())
+                    out_col[idx_local.index.to_numpy()] = \
+                        vals[pos[idx_local.to_numpy()]]
+                result[nm] = out_col
+
+        out = pd.DataFrame(
+            {c: result[c] for c in [ROW_ID, *out_fields]},
+            columns=[ROW_ID, *out_fields])
+        return out
+
+    def _sketch_segments(p, sk_arr, ev_arr, inc_ir, inc_ev, starts, seg_len,
+                         nseg):
+        from zipline_chronon_spark.api import Operation
+
+        nm, op = p.output_name, p.operation
+        sk_valid = inc_ir & ~pd.isna(sk_arr)
+        ev_valid = inc_ev & ~pd.isna(ev_arr)
+        any_row = sk_valid | ev_valid
+        out = np.full(nseg, None, dtype=object)
+        cls = fl._sketch_cls(op)
+        if op in fl._FREQ:
+            k = p.k or 1
+            nfp = op == Operation.APPROX_HEAVY_HITTERS_K
+        elif op == Operation.APPROX_PERCENTILE:
+            pcts = [float(x) for x in
+                    p.args.get("percentiles", "[0.5]").strip("[] ").split(",")]
+        for si in range(nseg):
+            lo = starts[si]
+            hi = lo + seg_len[si]
+            if not any_row[lo:hi].any():
+                continue
+            sk = None
+            for j in range(lo, hi):
+                if sk_valid[j]:
+                    cur = cls.from_bytes(bytes(sk_arr[j]))
+                    sk = cur if sk is None else sk.merge(cur)
+            vals = [ev_arr[j] for j in range(lo, hi) if ev_valid[j]]
+            if vals:
+                sk = sk or fl._new_sketch(op)
+                sk.update(vals)
+            if sk is None:
+                continue
+            if op == Operation.APPROX_UNIQUE_COUNT:
+                out[si] = int(round(sk.estimate()))
+            elif op in fl._FREQ:
+                out[si] = dict(sk.top_k(k, no_false_positives=nfp))
+            else:
+                out[si] = sk.quantiles(pcts)
+        return out
+
+    return serve
+
+
 def compute_group_by_approx(
     spark: SparkSession,
     gb: GroupBy,
@@ -185,50 +364,38 @@ def compute_group_by_approx(
         (f.name, f.dataType) for f in ev.schema.fields), [])
     out_fields = [f.name for f in out_schema.fields if f.name != ROW_ID]
 
-    def _clean(v):
-        if v is None or (isinstance(v, float) and pd.isna(v)):
-            return None
-        return v
+    serve = _make_columnar_serve(parts, ir_cols, inputs, out_schema, out_fields)
 
-    def serve(pdf: pd.DataFrame) -> pd.DataFrame:
-        # column-wise extraction (one C-level tolist per column), then a
-        # per-query merge_state call — the merge itself is the shared
-        # online code path, per query point by design
-        kind = pdf["__kind"].to_numpy()
-        tile = pdf["__tile"].tolist()
-        e_ts = pdf["__e_ts"].tolist()
-        tcols = {c: pdf[c].tolist() for c in ir_cols}
-        ecols = {c: pdf[f"__e_{c}"].tolist() for c in inputs}
-        Ts = pdf["__T"].tolist()
-        groups = pdf.groupby(ROW_ID, sort=False).indices
-        rows = []
-        for rid, idxs in groups.items():
-            T = int(Ts[idxs[0]])
-            tiles_list, events, collapsed_ir = [], [], None
-            for i in idxs:
-                k = kind[i]
-                if k == 0:
-                    ir = {c: tcols[c][i] for c in ir_cols
-                          if _clean(tcols[c][i]) is not None}
-                    tiles_list.append((int(tile[i]), ir))
-                elif k == 1:
-                    events.append({"ts": int(e_ts[i]),
-                                   **{c: _clean(ecols[c][i]) for c in inputs}})
-                elif k == 2:
-                    collapsed_ir = {c: tcols[c][i] for c in ir_cols
-                                    if _clean(tcols[c][i]) is not None}
-            merged = fl.merge_state(parts, collapsed_ir, tiles_list, events, T)
-            rows.append({ROW_ID: rid, **merged})
-        out = pd.DataFrame(rows, columns=[ROW_ID, *out_fields])
-        # FREQUENT_K/HEAVY_HITTERS return [(value, count)] -> dict for the
-        # map output column; percentiles are already lists
-        for f_ in out_schema.fields:
-            if f_.name == ROW_ID:
+    # ONE python call per rechunked batch, not per query point: groupBy +
+    # applyInPandas invokes the UDF once per ROW_ID (50k queries = 50k
+    # pandas round-trips, measured >7x the exact engine). Hash-partition by
+    # ROW_ID, sort within partitions, and re-chunk at group boundaries with
+    # a carry (same pattern as arrow_engine.make_arrow_runner) so serve()
+    # merges MANY query points per invocation.
+    import numpy as np
+
+    nparts = num_partitions or union.sparkSession.sparkContext.defaultParallelism
+    arranged = union.repartition(nparts, ROW_ID).sortWithinPartitions(
+        ROW_ID, "__kind", "__tile", "__e_ts")
+
+    def runner(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
                 continue
-            if f_.dataType.typeName() == "map":
-                out[f_.name] = out[f_.name].map(
-                    lambda v: dict(v) if isinstance(v, list) else v)
-        return out
+            rid = pdf[ROW_ID].to_numpy()
+            change = np.flatnonzero(rid[1:] != rid[:-1])
+            last_start = int(change[-1]) + 1 if len(change) else 0
+            if last_start == 0:  # one group so far: may continue next batch
+                carry = pdf
+                continue
+            carry = pdf.iloc[last_start:]
+            yield serve(pdf.iloc[:last_start])
+        if carry is not None and len(carry):
+            yield serve(carry)
 
-    return union.groupBy(ROW_ID).applyInPandas(
-        lambda _key, pdf: serve(pdf), schema=out_schema)
+    return arranged.mapInPandas(runner, schema=out_schema)
