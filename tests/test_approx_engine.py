@@ -124,12 +124,12 @@ def test_row_per_query_even_without_tiles_or_head(spark, events):
     assert got["v_sum_1h"].isna().all() and got["v_count_6h"].isna().all()
 
 
-def test_tile_fanout_bounded_by_window(spark, events):
-    """The query x tile join must be bounded by tiles-per-window, NOT by
-    history length: an all-windowed GroupBy with maxWindow w and finest
-    tail hop h joins <= w/h + 2 tiles per query row (alignment slack), no
-    matter how much older history the key has."""
-    from zipline_chronon_spark.operators.approx_engine import _build_union
+def test_no_query_tile_fanout(spark, events):
+    """The round-5 cogroup shape: each (key, tile) IR appears ONCE in the
+    serving frame no matter how many queries hit it — shuffle volume is
+    O(tiles + head_events + queries), NOT O(queries x tiles_per_window).
+    Doubling the query count must leave the tile row count unchanged."""
+    from zipline_chronon_spark.operators.approx_engine import _build_frames
 
     gb = GroupBy(
         name="ax_b",
@@ -140,20 +140,31 @@ def test_tile_fanout_bounded_by_window(spark, events):
             Aggregation("v", Operation.COUNT, windows=(Window(1, TimeUnit.HOURS),)),
         ),
     )
-    q = _queries(spark, events)
-    union, _, _ = _build_union(spark, gb, q, row_id="__row_id",
-                               query_time_col="ts_ms")
-    per_q = (union.where("__kind = 0").groupBy("__row_id").count()
-             .agg({"count": "max"}).collect()[0][0])
-    hop = 300_000  # finest tail hop of a 1h window
-    assert per_q is not None and per_q <= (6 * 3_600_000) // hop + 2
+    from pyspark.sql import functions as F
+    q1 = _queries(spark, events, n=60)
+    # same keys and times, double the rows: span and key set identical
+    q2 = q1.unionByName(q1.withColumn("__row_id", F.col("__row_id") + 1000))
+    n1 = _build_frames(spark, gb, q1, row_id="__row_id",
+                       query_time_col="ts_ms")[0].where("__kind = 0").count()
+    n2 = _build_frames(spark, gb, q2, row_id="__row_id",
+                       query_time_col="ts_ms")[0].where("__kind = 0").count()
+    dk = (spark.table("ax_events").select("k").distinct().count())
+    span_tiles = 2 * 86_400_000 // 300_000 + 1  # 2-day data span at 5m hop
+    assert n1 == n2  # tile rows independent of query count
+    assert n2 <= dk * span_tiles  # bounded by (keys x span tiles)
+    # tiles are unique per (key, tile): no duplication anywhere
+    u = _build_frames(spark, gb, q2, row_id="__row_id",
+                      query_time_col="ts_ms")[0]
+    dup = (u.where("__kind = 0").groupBy("k", "__t").count()
+           .where("count > 1").count())
+    assert dup == 0
 
 
 def test_old_history_collapses_to_one_row_per_key(spark, events):
     """With an unbounded part, events below the split land in ONE collapsed
-    IR row per key (kind=2) — the upload_batch_state split reused batch-side
-    — so per-query fan-out is bounded by the query-time span, not history."""
-    from zipline_chronon_spark.operators.approx_engine import _build_union
+    IR row per KEY total (kind=2) — not per query — so the serving frame is
+    bounded by the query-time span, not history."""
+    from zipline_chronon_spark.operators.approx_engine import _build_frames
 
     gb = _gb()  # has unbounded parts
     # queries late in the range: most history is below the split
@@ -163,11 +174,13 @@ def test_old_history_collapses_to_one_row_per_key(spark, events):
         "ts_ms": BASE + 2 * 86_400_000 - rng.integers(0, 3_600_000, size=40),
         "__row_id": np.arange(40, dtype=np.int64),
     }).astype({"ts_ms": "int64"}))
-    union, _, _ = _build_union(spark, gb, q, row_id="__row_id",
-                               query_time_col="ts_ms")
-    per_q = (union.where("__kind = 2").groupBy("__row_id").count()
-             .agg({"count": "max"}).collect()[0][0])
-    assert per_q == 1  # exactly one collapsed row per query for a seen key
+    union, _, _ = _build_frames(spark, gb, q, row_id="__row_id",
+                                query_time_col="ts_ms")
+    per_key = (union.where("__kind = 2").groupBy("k").count()
+               .agg({"count": "max"}).collect()[0][0])
+    total = union.where("__kind = 2").count()
+    assert per_key == 1  # exactly one collapsed row per seen key
+    assert total <= 5    # never one per query (40 queries over <=5 keys)
 
 
 def test_no_iterrows_in_module():

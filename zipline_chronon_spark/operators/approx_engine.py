@@ -6,49 +6,71 @@ over the raw events of each window — best accuracy, but per-(key, window)
 cost is O(distinct values). This engine instead serves each query point
 from per-(key, hop-tile) sketch IRs (HLL / KLL / Misra-Gries,
 operators/sketches.py) plus the raw events of the query's head hop — the
-same sawtooth lambda rule as the online Fetcher, literally the same code
-(online/fetcher.py merge_state), so:
+same sawtooth lambda rule as the online Fetcher (online/fetcher.py
+merge_state/finalize_part semantics), so:
 
   compute_group_by_approx(spark, gb, q)  ==  Fetcher.fetch(key, T)
 
 for every (key, T), by construction (tested in tests/test_approx_engine.py).
 
-Scale shape (why this exists): per-key state is O(n_tiles x sketch_bytes)
-instead of O(distinct values). History is split exactly like the online
-upload (upload_batch_state, online/fetcher.py): events older than ANY query
-can need per-tile collapse into ONE IR row per key (only unbounded parts
-read it — merge_state adds collapsed only for window=None), and only
-events in [split, max_T] tile at the finest tail hop. The query x tile join
-is therefore bounded by tiles-per-window (+ the query-time span for
-unbounded parts), e.g. 168 rows for 7d/1h — NOT by history length. Head
-events stay exact. Choose this engine when windows are long and values are
-high-cardinality; the exact engine wins when windows are short or finalize
-cost is small.
+Scale shape (the round-5 redesign): there is NO query x tile join. Tiles,
+head events and query rows are shuffled ONCE, keyed by the GroupBy keys,
+and served cogrouped: within each key, queries are answered in time order
+against the key's tile/event arrays with
 
-Cardinality contract: the output has exactly one row per query row (same as
-the exact engine) — a query whose key has no tiles and no head events gets
-a null-feature row, via a bare per-query anchor row in the union.
+  - prefix-sum difference arrays for SUM / COUNT / AVERAGE,
+  - monotone-deque sliding extremes for MIN / MAX,
+  - next/prev-non-null index hops for FIRST / LAST,
+  - a two-stack sliding-window merge (SWAG) for sketch parts: both window
+    endpoints are monotone in query time, so each tile sketch is
+    deserialized ONCE and merged O(1) amortized times per key, instead of
+    once per (query, tile) pair.
+
+Shuffle volume is therefore O(tiles + head_events + queries) — the old
+join-based plan moved O(queries x tiles_per_window) rows (a 7d/1h window =
+168x fan-out, each row carrying sketch blobs) and re-deserialized every
+blob per query. Head events are pruned to the hops some query actually
+touches (a (key, hop) semi-join), so the event shuffle is bounded by the
+query head hops, not the full history. For very SPARSE query sets over
+very WIDE time spans the old join shape can move fewer event rows; the
+dense-backfill case (every event becomes a query) is what this engine is
+for, and there the cogroup shape wins by the full fan-out factor.
+
+Skew: a single hot key's tiles+events+queries land in one task. The exact
+engine's hot-key time-slice salting seam (pit_join) applies here
+unchanged if needed — tiles/queries can be sliced by time range with
+boundary tiles duplicated per slice; not wired up by default.
+
+Cardinality contract: the output has exactly one row per query row (same
+as the exact engine) — query rows drive the output, so a key with no
+tiles and no head events still yields a null-feature row.
 
 Reference analogue: GroupByUpload + Flink tiles + the fetcher's
 SawtoothOnlineAggregator — the reference has no batch-side sketch backfill
 (its batch APPROX_* are CPC/KLL sketches per output row); here both tiers
-share one IR format and one merge.
+share one IR format and one finalize rule.
 """
 
 from __future__ import annotations
 
+import collections
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from zipline_chronon_spark.api import GroupBy
+from zipline_chronon_spark.api import GroupBy, Operation
 from zipline_chronon_spark.online import fetcher as fl
 from zipline_chronon_spark.operators import pit_join
+from zipline_chronon_spark.operators.sketches import hash64
 
 ROW_ID = pit_join.ROW_ID
 TS_COL = pit_join.TS_COL
+
+# union row kinds, in within-key sort order
+K_TILE, K_EVENT, K_COLLAPSED, K_QUERY = 0, 1, 2, 3
 
 
 def _split_point(gb: GroupBy, t_min: int) -> int:
@@ -64,18 +86,18 @@ def _split_point(gb: GroupBy, t_min: int) -> int:
     return (t_min // hop) * hop  # unbounded-only: collapse below min head
 
 
-def _build_union(
+def _build_frames(
     spark: SparkSession,
     gb: GroupBy,
     queries: DataFrame,
     row_id: str = ROW_ID,
     query_time_col: str = "ts",
 ) -> tuple[DataFrame, DataFrame, list[str]]:
-    """The serving input frame: per query row, its anchor (kind=-1), its
-    in-range tiles (kind=0), its head events (kind=1) and — when an
-    unbounded part exists — its ONE collapsed row (kind=2). Split out so
-    tests can assert the per-query tile fan-out bound directly.
-    Returns (union, events_frame, ir_cols)."""
+    """The serving input frame, keyed by the GroupBy keys (NO per-query
+    fan-out): each (key, tile) IR appears ONCE (kind=0), each queried head
+    event once (kind=1), at most one collapsed row per key (kind=2), and
+    one row per query (kind=3). Split out so tests can assert the shuffle
+    shape directly. Returns (union, events_frame, ir_cols)."""
     parts = fl._parts(gb)
     keys = list(gb.key_columns)
     hop = fl._tile_hop(gb) or 86_400_000  # unbounded-only: any fixed tiling
@@ -88,7 +110,7 @@ def _build_union(
     q = queries.select(
         *keys,
         pit_join._time_to_millis(F.expr(query_time_col), q_dt).alias("__T"),
-        F.col(row_id).alias(ROW_ID),
+        F.col(row_id).cast("long").alias(ROW_ID),
     )
     # one tiny driver-side scalar: the query-time span bounds BOTH ends of
     # the event scan (events above max_T can never contribute; events below
@@ -96,83 +118,222 @@ def _build_union(
     b = q.agg(F.min("__T").alias("lo"), F.max("__T").alias("hi")).collect()[0]
     t_min, t_max = (b["lo"], b["hi"]) if b["lo"] is not None else (0, 0)
     split = _split_point(gb, t_min)
-    head_floor = (F.col("__T") / hop).cast("long") * hop
 
     ev = ev.where(F.col(TS_COL) <= t_max)
     recent = ev.where(F.col(TS_COL) >= split)
 
-    # per-(key, tile) mergeable IRs over [split, t_max] — ONE pass
-    tiles = fl._ir_rows(recent, gb, tile_hop=hop)
+    qkeys = q.select(*keys).distinct()
+
+    # per-(key, tile) mergeable IRs over [split, t_max] — ONE pass, then
+    # pruned to queried keys (mirrors the exact engine's semi-join prefilter)
+    tiles = fl._ir_rows(recent, gb, tile_hop=hop).join(qkeys, keys, "leftsemi")
     ir_cols = [c for c in tiles.columns if c not in keys + ["__tile"]]
 
     def _nulls(df_schema, cols, prefix=""):
         return [F.lit(None).cast(df_schema[c].dataType).alias(f"{prefix}{c}")
                 for c in cols]
 
-    # bare anchor per query row: guarantees one output row per query even
-    # when its key has no tiles in range and no head events (the exact
-    # engine emits a null-feature row there; inner joins below would drop it)
-    q_bare = q.select(
-        ROW_ID, "__T", F.lit(-1).alias("__kind"),
-        F.lit(None).cast("long").alias("__tile"),
-        *_nulls(ev.schema, inputs, "__e_"),
-        F.lit(None).cast("long").alias("__e_ts"),
-        *_nulls(tiles.schema, ir_cols))
+    zero_l = F.lit(0).cast("long")
+    neg1_l = F.lit(-1).cast("long")  # ROW_ID stays null-free int64 (2^53 rule)
 
-    # query x tiles-below-head join, bounded below by the oldest tail any
-    # part can need at this T when every part is windowed (with an unbounded
-    # part present all tiles are needed — but they only exist >= split)
-    max_w = gb.max_window_millis()
-    tcond = tiles["__tile"] < head_floor
-    if max_w is not None:
-        oldest = [((F.col("__T") - p.window.millis) / p.window.tail_hop_millis())
-                  .cast("long") * p.window.tail_hop_millis()
-                  for p in parts if p.window is not None]
-        tcond = tcond & (tiles["__tile"] >= F.least(*oldest)
-                         if len(oldest) > 1 else tiles["__tile"] >= oldest[0])
-    qt = (q.join(tiles, keys, "inner").where(tcond)
-          .select(ROW_ID, "__T", F.lit(0).alias("__kind"), "__tile",
-                  *_nulls(ev.schema, inputs, "__e_"),
-                  F.lit(None).cast("long").alias("__e_ts"), *ir_cols))
+    t_u = tiles.select(
+        *keys, F.lit(K_TILE).alias("__kind"), F.col("__tile").alias("__t"),
+        neg1_l.alias(ROW_ID), *ir_cols, *_nulls(ev.schema, inputs, "__e_"))
 
-    # query x head-hop raw events (exact head, ts <= T)
-    he = ev.select(*keys, F.col(TS_COL).alias("__e_ts"),
-                   *[F.col(c).alias(f"__e_{c}") for c in inputs])
-    qh = (q.join(he, keys, "inner")
-          .where((F.col("__e_ts") >= head_floor) & (F.col("__e_ts") <= F.col("__T")))
-          .select(ROW_ID, "__T", F.lit(1).alias("__kind"),
-                  F.lit(None).cast("long").alias("__tile"),
-                  *[F.col(f"__e_{c}") for c in inputs], "__e_ts",
-                  *_nulls(tiles.schema, ir_cols)))
+    # head events: only (key, hop) cells some query actually touches —
+    # [head_floor(T), T] per query is exact-head territory; everything
+    # below head_floor is covered by tiles
+    q_hop = (F.col("__T") / hop).cast("long") * hop
+    qhops = q.select(*keys, q_hop.alias("__hop")).distinct()
+    head_lo = (t_min // hop) * hop
+    he = (ev.where(F.col(TS_COL) >= head_lo)
+            .withColumn("__hop", (F.col(TS_COL) / hop).cast("long") * hop)
+            .join(qhops, keys + ["__hop"], "leftsemi"))
+    e_u = he.select(
+        *keys, F.lit(K_EVENT).alias("__kind"), F.col(TS_COL).alias("__t"),
+        neg1_l.alias(ROW_ID), *_nulls(tiles.schema, ir_cols),
+        *[F.col(c).alias(f"__e_{c}") for c in inputs])
 
-    union = q_bare.unionByName(qt).unionByName(qh)
+    q_u = q.select(
+        *keys, F.lit(K_QUERY).alias("__kind"), F.col("__T").alias("__t"),
+        ROW_ID, *_nulls(tiles.schema, ir_cols),
+        *_nulls(ev.schema, inputs, "__e_"))
 
-    # collapsed rows only exist (and are only read by merge_state) for
-    # unbounded parts; every key contributes at most ONE such row per query
+    union = t_u.unionByName(e_u).unionByName(q_u)
+
+    # collapsed rows only exist (and are only read) for unbounded parts;
+    # every key contributes at most ONE such row TOTAL — not per query
     if has_unbounded:
         old = ev.where(F.col(TS_COL) < split)
-        collapsed = fl._ir_rows(old, gb)
-        qc = (q.join(collapsed, keys, "inner")
-              .select(ROW_ID, "__T", F.lit(2).alias("__kind"),
-                      F.lit(None).cast("long").alias("__tile"),
-                      *_nulls(ev.schema, inputs, "__e_"),
-                      F.lit(None).cast("long").alias("__e_ts"), *ir_cols))
-        union = union.unionByName(qc)
+        collapsed = fl._ir_rows(old, gb).join(qkeys, keys, "leftsemi")
+        c_u = collapsed.select(
+            *keys, F.lit(K_COLLAPSED).alias("__kind"), zero_l.alias("__t"),
+            neg1_l.alias(ROW_ID), *ir_cols, *_nulls(ev.schema, inputs, "__e_"))
+        union = union.unionByName(c_u)
 
     return union, ev, ir_cols
 
 
-def _make_columnar_serve(parts, ir_cols, inputs, out_schema, out_fields):
-    """Segment-vectorized replacement for the per-query merge_state loop
-    (round-4 verdict #10): scalar ops aggregate whole batches of query
-    points with pandas-groupby/C kernels; only the sketch blobs keep a
-    per-segment python merge (the merge of opaque sketch state is
-    irreducibly per-object). Semantics pinned to online/fetcher.py
-    finalize_part by tests/test_approx_engine.py (approx == exact == online
-    for every op, incl. the all-null-window NULL rule)."""
-    import numpy as np
+# ---------------------------------------------------------------------------
+# per-key range kernels
+# ---------------------------------------------------------------------------
 
-    from zipline_chronon_spark.api import Operation
+def _prefix(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(prefix sums with nan->0, prefix non-nan counts), length n+1."""
+    ok = ~np.isnan(x)
+    s = np.empty(len(x) + 1)
+    s[0] = 0.0
+    np.cumsum(np.where(ok, x, 0.0), out=s[1:])
+    c = np.empty(len(x) + 1, dtype=np.int64)
+    c[0] = 0
+    np.cumsum(ok, out=c[1:])
+    return s, c
+
+
+def _next_valid(valid: np.ndarray) -> np.ndarray:
+    """nxt[i] = smallest j >= i with valid[j], else n."""
+    n = len(valid)
+    idx = np.where(valid, np.arange(n), n)
+    return np.minimum.accumulate(idx[::-1])[::-1]
+
+
+def _prev_valid(valid: np.ndarray) -> np.ndarray:
+    """prv[i] = largest j <= i with valid[j], else -1."""
+    idx = np.where(valid, np.arange(len(valid)), -1)
+    return np.maximum.accumulate(idx)
+
+
+class _SlideExtreme:
+    """Range min/max over [lo, hi) for MONOTONE lo and hi (amortized O(1)
+    per element; works for any orderable dtype incl. strings, unlike a
+    float RMQ table)."""
+
+    __slots__ = ("vals", "valid", "is_min", "dq", "lo", "hi")
+
+    def __init__(self, vals: np.ndarray, valid: np.ndarray, is_min: bool):
+        self.vals, self.valid, self.is_min = vals, valid, is_min
+        self.dq: collections.deque = collections.deque()
+        self.lo = 0
+        self.hi = 0
+
+    def query(self, lo: int, hi: int):
+        vals, dq = self.vals, self.dq
+        while self.hi < hi:
+            i = self.hi
+            if self.valid[i]:
+                v = vals[i]
+                if self.is_min:
+                    while dq and vals[dq[-1]] >= v:
+                        dq.pop()
+                else:
+                    while dq and vals[dq[-1]] <= v:
+                        dq.pop()
+                dq.append(i)
+            self.hi += 1
+        if lo > self.lo:
+            self.lo = lo
+        while dq and dq[0] < self.lo:
+            dq.popleft()
+        return vals[dq[0]] if dq else None
+
+
+class _SwagSketch:
+    """Two-stack sliding-window aggregation over a key's tile sketches:
+    window endpoints are monotone in query time, so each tile is merged
+    O(1) amortized times total (once into the back aggregate, once during
+    a front flip) — NOT once per query. ``items`` entries are never
+    mutated; answers are fresh copies."""
+
+    __slots__ = ("items", "front", "back", "back_agg", "lo", "hi")
+
+    def __init__(self, items: list):
+        self.items = items
+        self.front: list = []   # suffix aggregates; pop() evicts the oldest
+        self.back: list = []    # indices newer than everything in front
+        self.back_agg = None
+        self.lo = 0
+        self.hi = 0
+
+    def advance(self, lo: int, hi: int) -> None:
+        items = self.items
+        while self.hi < hi:
+            it = items[self.hi]
+            if it is not None:
+                if self.back_agg is None:
+                    self.back_agg = it.copy()
+                else:
+                    self.back_agg.merge(it)
+            self.back.append(self.hi)
+            self.hi += 1
+        while self.lo < lo:
+            if not self.front:
+                agg = None  # suffix agg over items newer than position i
+                for i in reversed(self.back):
+                    if items[i] is not None:
+                        if agg is None:
+                            agg = items[i].copy()
+                        else:
+                            agg = agg.copy().merge(items[i])
+                    self.front.append(agg)  # aliasing OK: entries read-only
+                self.back = []
+                self.back_agg = None
+            if self.front:
+                self.front.pop()
+            self.lo += 1
+
+    def window_agg(self):
+        """Fresh sketch covering [lo, hi), or None if nothing valid."""
+        f = self.front[-1] if self.front else None
+        if f is None and self.back_agg is None:
+            return None
+        out = f.copy() if f is not None else self.back_agg.copy()
+        if f is not None and self.back_agg is not None:
+            out.merge(self.back_agg)
+        return out
+
+
+class _PrefixSketch:
+    """Running (unbounded-window) merge: lo is pinned at 0, hi monotone."""
+
+    __slots__ = ("items", "run", "hi")
+
+    def __init__(self, items: list, seed=None):
+        self.items = items
+        self.run = seed.copy() if seed is not None else None
+        self.hi = 0
+
+    def advance(self, hi: int) -> None:
+        while self.hi < hi:
+            it = self.items[self.hi]
+            if it is not None:
+                if self.run is None:
+                    self.run = it.copy()
+                else:
+                    self.run.merge(it)
+            self.hi += 1
+
+    def window_agg(self):
+        return None if self.run is None else self.run.copy()
+
+
+def _finalize_sketch(op: Operation, sk, k: int, nfp: bool, pcts):
+    if op == Operation.APPROX_UNIQUE_COUNT:
+        return int(round(sk.estimate()))
+    if op in fl._FREQ:
+        return dict(sk.top_k(k, no_false_positives=nfp))
+    return sk.quantiles(pcts)
+
+
+# group-boundary mask shared with the tile builder (fetcher._group_starts):
+# factorize-based, so None/NaN/pd.NA key rows are isolated — null keys match
+# nothing, and such query rows correctly get null features
+_group_starts = fl._group_starts
+
+
+def _make_group_server(parts, inputs, out_fields, keys):
+    """serve(pdf) for one sorted batch of whole key groups: splits each key
+    into (tiles | events | collapsed | queries) slices and answers the
+    key's queries with the range kernels above."""
 
     def _num(pdf, col):
         return pd.to_numeric(pdf[col], errors="coerce").to_numpy(
@@ -181,161 +342,270 @@ def _make_columnar_serve(parts, ir_cols, inputs, out_schema, out_fields):
     def _obj(pdf, col):
         return pdf[col].to_numpy(dtype=object)
 
+    keyed = [(p, p.output_name, p.operation, p.input_column) for p in parts]
+    hop = None
+    for p in parts:
+        if p.window is not None:
+            h = p.window.tail_hop_millis()
+            hop = h if hop is None else min(hop, h)
+    hop = hop or 86_400_000
+
     def serve(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
-        rid = pdf[ROW_ID].to_numpy()
-        starts = np.flatnonzero(np.r_[True, rid[1:] != rid[:-1]])
-        nseg = len(starts)
-        seg_len = np.diff(np.r_[starts, n])
-        seg_id = np.repeat(np.arange(nseg), seg_len)
-        Ts = pdf["__T"].to_numpy(dtype=np.int64)
         kind = pdf["__kind"].to_numpy()
-        tile = _num(pdf, "__tile")
-        e_ts = _num(pdf, "__e_ts")
-        is_tile, is_ev, is_col = kind == 0, kind == 1, kind == 2
+        t_all = pdf["__t"].to_numpy(dtype=np.int64)
+        rid_all = pdf[ROW_ID].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(_group_starts(pdf[keys]))
+        ends = np.r_[starts[1:], n]
 
-        def seg_from_mask(values, mask, how):
-            """Aggregate values[mask] per segment; None where a segment has
-            no masked rows. `values` is a numpy array (float or object)."""
-            out = np.full(nseg, None, dtype=object)
-            if not mask.any():
-                return out
-            s = pd.Series(values[mask]).groupby(seg_id[mask], sort=True).agg(how)
-            out[s.index.to_numpy()] = s.to_numpy(dtype=object)
-            return out
+        # batch-level column caches (lazy, one C-level conversion each)
+        num_cache: dict = {}
+        obj_cache: dict = {}
 
-        result: dict = {ROW_ID: rid[starts]}
-        ev_num_cache: dict = {}
-        ev_obj_cache: dict = {}
+        def num(col):
+            if col not in num_cache:
+                num_cache[col] = _num(pdf, col)
+            return num_cache[col]
 
-        def ev_num(col):
-            if col not in ev_num_cache:
-                ev_num_cache[col] = _num(pdf, f"__e_{col}")
-            return ev_num_cache[col]
+        def obj(col):
+            if col not in obj_cache:
+                obj_cache[col] = _obj(pdf, col)
+            return obj_cache[col]
 
-        def ev_obj(col):
-            if col not in ev_obj_cache:
-                ev_obj_cache[col] = _obj(pdf, f"__e_{col}")
-            return ev_obj_cache[col]
+        out_rid: list = []
+        out_cols: dict = {nm: [] for _, nm, _, _ in keyed}
 
-        for p in parts:
-            nm, op, col = p.output_name, p.operation, p.input_column
-            if p.window is None:
-                inc_ir = is_tile | is_col
-                inc_ev = is_ev
-            else:
-                hop = p.window.tail_hop_millis()
-                tail = ((Ts - p.window.millis) // hop) * hop
-                with np.errstate(invalid="ignore"):
-                    inc_ir = is_tile & (tile >= tail)   # NaN compares False
-                    inc_ev = is_ev & (e_ts >= tail)
+        for s, e in zip(starts, ends):
+            ks = kind[s:e]
+            b1 = s + np.searchsorted(ks, K_EVENT)
+            b2 = s + np.searchsorted(ks, K_COLLAPSED)
+            b3 = s + np.searchsorted(ks, K_QUERY)
+            if b3 == e:
+                continue  # no queries in this key (shouldn't happen)
+            T = t_all[b3:e]
+            nq = e - b3
+            out_rid.append(rid_all[b3:e])
 
-            if op in fl.SKETCH_OPS:
-                result[nm] = _sketch_segments(
-                    p, _obj(pdf, f"{nm}__sk"), ev_obj(col),
-                    inc_ir, inc_ev, starts, seg_len, nseg)
-                continue
+            tile_ts = t_all[s:b1]
+            e_ts = t_all[b1:b2]
+            col_i = b2 if b2 < b3 else -1  # index of the collapsed row
 
-            if op in (Operation.SUM, Operation.AVERAGE):
-                ir_sum = _num(pdf, f"{nm}__sum")
-                ev_v = ev_num(col)
-                s_comb = np.where(inc_ir, ir_sum,
-                                  np.where(inc_ev, ev_v, np.nan))
-                s_seg = seg_from_mask(s_comb, ~np.isnan(s_comb), "sum")
-                if op == Operation.SUM:
-                    result[nm] = s_seg
+            head = (T // hop) * hop
+            hi_t_head = np.searchsorted(tile_ts, head)
+            e_hi = np.searchsorted(e_ts, T, side="right")
+            e_lo_head = np.searchsorted(e_ts, head)
+
+            for p, nm, op, col in keyed:
+                if p.window is None:
+                    lo_t = None
+                    hi_t = hi_t_head
+                    e_lo = e_lo_head
                 else:
-                    ir_cnt = _num(pdf, f"{nm}__count")
-                    c_comb = np.where(
-                        inc_ir, ir_cnt,
-                        np.where(inc_ev & ~np.isnan(ev_v), 1.0, np.nan))
-                    c_seg = seg_from_mask(c_comb, ~np.isnan(c_comb), "sum")
-                    result[nm] = np.array(
-                        [float(s) / c if (c is not None and c > 0) else None
-                         for s, c in zip(
-                             (x if x is not None else 0.0 for x in s_seg),
-                             c_seg)], dtype=object)
-            elif op == Operation.COUNT:
-                ir_cnt = _num(pdf, f"{nm}__count")
-                evv = ev_num(col)
-                c_comb = np.where(
-                    inc_ir, ir_cnt,
-                    np.where(inc_ev & ~np.isnan(evv), 1.0, np.nan))
-                c_seg = seg_from_mask(c_comb, ~np.isnan(c_comb), "sum")
-                # count-of-nothing renders NULL (finalize_part rule)
-                result[nm] = np.array(
-                    [int(c) if (c is not None and c > 0) else None
-                     for c in c_seg], dtype=object)
-            elif op in (Operation.MIN, Operation.MAX):
-                suffix = "min" if op == Operation.MIN else "max"
-                ir_v = _obj(pdf, f"{nm}__{suffix}")
-                evo = ev_obj(col)
-                vals = np.where(inc_ir, ir_v, np.where(inc_ev, evo, None))
-                mask = ~pd.isna(vals)
-                result[nm] = seg_from_mask(vals, mask, suffix)
-            else:  # FIRST / LAST: value at extreme ts among included rows
-                ir_ts = _num(pdf, f"{nm}__ts")
-                ir_v = _obj(pdf, f"{nm}__v")
-                evo = ev_obj(col)
-                ev_valid = ~pd.isna(evo)
-                key = np.where(inc_ir & ~np.isnan(ir_ts), ir_ts,
-                               np.where(inc_ev & ev_valid, e_ts, np.nan))
-                mask = ~np.isnan(key)
-                vals = np.where(inc_ir, ir_v, np.where(inc_ev, evo, None))
-                out_col = np.full(nseg, None, dtype=object)
-                if mask.any():
-                    pos = np.flatnonzero(mask)
-                    s = pd.Series(key[mask])
-                    g = s.groupby(seg_id[mask], sort=True)
-                    idx_local = (g.idxmin() if op == Operation.FIRST
-                                 else g.idxmax())
-                    out_col[idx_local.index.to_numpy()] = \
-                        vals[pos[idx_local.to_numpy()]]
-                result[nm] = out_col
+                    w, th = p.window.millis, p.window.tail_hop_millis()
+                    tail = ((T - w) // th) * th
+                    lo_t = np.searchsorted(tile_ts, tail)
+                    hi_t = np.maximum(hi_t_head, lo_t)
+                    e_lo = np.minimum(
+                        np.searchsorted(e_ts, np.maximum(tail, head)), e_hi)
 
-        out = pd.DataFrame(
-            {c: result[c] for c in [ROW_ID, *out_fields]},
-            columns=[ROW_ID, *out_fields])
+                # collapsed (below-split) state feeds ONLY unbounded parts
+                # (merge_state rule: windowed tails are above the split)
+                ci = col_i if p.window is None else -1
+                if op in fl.SKETCH_OPS:
+                    out_cols[nm].append(_serve_sketch(
+                        p, nm, op, col, s, b1, b2, ci, lo_t, hi_t,
+                        e_lo, e_hi, nq, obj, pdf))
+                elif op in (Operation.SUM, Operation.AVERAGE, Operation.COUNT):
+                    out_cols[nm].append(_serve_additive(
+                        nm, op, col, s, b1, b2, ci, lo_t, hi_t,
+                        e_lo, e_hi, nq, num, obj))
+                elif op in (Operation.MIN, Operation.MAX):
+                    out_cols[nm].append(_serve_extreme(
+                        nm, op, col, s, b1, b2, ci, lo_t, hi_t,
+                        e_lo, e_hi, nq, obj))
+                else:  # FIRST / LAST
+                    out_cols[nm].append(_serve_first_last(
+                        nm, op, col, s, b1, b2, ci, lo_t, hi_t,
+                        e_lo, e_hi, nq, num, obj, p.window is None))
+
+        if not out_rid:
+            return pd.DataFrame({c: [] for c in [ROW_ID, *out_fields]},
+                                columns=[ROW_ID, *out_fields])
+        data = {ROW_ID: np.concatenate(out_rid)}
+        for nm in out_cols:
+            data[nm] = np.concatenate(out_cols[nm])
+        return pd.DataFrame({c: data[c] for c in [ROW_ID, *out_fields]},
+                            columns=[ROW_ID, *out_fields])
+
+    def _rng(lo_t, nq):
+        return np.zeros(nq, dtype=np.int64) if lo_t is None else lo_t
+
+    def _serve_additive(nm, op, col, s, b1, b2, col_i, lo_t, hi_t,
+                        e_lo, e_hi, nq, num, obj):
+        lo_t = _rng(lo_t, nq)
+        csum = ccnt = None
+        if op in (Operation.SUM, Operation.AVERAGE):
+            ts_, tc_ = _prefix(num(f"{nm}__sum")[s:b1])
+            es_, ec_ = _prefix(num(f"__e_{col}")[b1:b2])
+            tot = (ts_[hi_t] - ts_[lo_t]) + (es_[e_hi] - es_[e_lo])
+            have = (tc_[hi_t] - tc_[lo_t]) + (ec_[e_hi] - ec_[e_lo])
+            if col_i >= 0:
+                cs = num(f"{nm}__sum")[col_i]
+                if not np.isnan(cs):
+                    tot = tot + cs
+                    have = have + 1
+            csum, chave = tot, have
+        if op in (Operation.COUNT, Operation.AVERAGE):
+            tcv = num(f"{nm}__count")[s:b1]
+            tp = np.empty(b1 - s + 1)
+            tp[0] = 0.0
+            np.cumsum(np.where(np.isnan(tcv), 0.0, tcv), out=tp[1:])
+            if op == Operation.COUNT:
+                # null-test on the raw objects: COUNT works on any dtype
+                eok = ~pd.isna(obj(f"__e_{col}")[b1:b2])
+                ec_ = np.empty(b2 - b1 + 1, dtype=np.int64)
+                ec_[0] = 0
+                np.cumsum(eok, out=ec_[1:])
+            else:
+                _, ec_ = _prefix(num(f"__e_{col}")[b1:b2])
+            cnt = (tp[hi_t] - tp[lo_t]) + (ec_[e_hi] - ec_[e_lo])
+            if col_i >= 0:
+                cc = num(f"{nm}__count")[col_i]
+                if not np.isnan(cc):
+                    cnt = cnt + cc
+            ccnt = cnt
+        out = np.full(nq, None, dtype=object)
+        if op == Operation.SUM:
+            m = chave > 0
+            out[m] = csum[m]
+        elif op == Operation.COUNT:
+            m = ccnt > 0
+            out[m] = ccnt[m].astype(np.int64)
+        else:  # AVERAGE
+            m = ccnt > 0
+            out[m] = csum[m] / ccnt[m]
         return out
 
-    def _sketch_segments(p, sk_arr, ev_arr, inc_ir, inc_ev, starts, seg_len,
-                         nseg):
-        from zipline_chronon_spark.api import Operation
+    def _serve_extreme(nm, op, col, s, b1, b2, col_i, lo_t, hi_t,
+                       e_lo, e_hi, nq, obj):
+        lo_t = _rng(lo_t, nq)
+        suffix = "min" if op == Operation.MIN else "max"
+        tv = obj(f"{nm}__{suffix}")[s:b1]
+        evv = obj(f"__e_{col}")[b1:b2]
+        is_min = op == Operation.MIN
+        t_ext = _SlideExtreme(tv, ~pd.isna(tv), is_min)
+        e_ext = _SlideExtreme(evv, ~pd.isna(evv), is_min)
+        cv = None
+        if col_i >= 0:
+            c = obj(f"{nm}__{suffix}")[col_i]
+            cv = None if pd.isna(c) else c
+        out = np.full(nq, None, dtype=object)
+        pick = min if is_min else max
+        for i in range(nq):
+            cands = [v for v in (t_ext.query(lo_t[i], hi_t[i]),
+                                 e_ext.query(e_lo[i], e_hi[i]), cv)
+                     if v is not None]
+            if cands:
+                out[i] = pick(cands)
+        return out
 
-        nm, op = p.output_name, p.operation
-        sk_valid = inc_ir & ~pd.isna(sk_arr)
-        ev_valid = inc_ev & ~pd.isna(ev_arr)
-        any_row = sk_valid | ev_valid
-        out = np.full(nseg, None, dtype=object)
+    def _serve_first_last(nm, op, col, s, b1, b2, col_i, lo_t, hi_t,
+                          e_lo, e_hi, nq, num, obj, unbounded):
+        lo_t = _rng(lo_t, nq)
+        t_ts = num(f"{nm}__ts")[s:b1]
+        t_v = obj(f"{nm}__v")[s:b1]
+        evv = obj(f"__e_{col}")[b1:b2]
+        cv = None
+        if col_i >= 0 and unbounded:
+            cts = num(f"{nm}__ts")[col_i]
+            if not np.isnan(cts):
+                cv = obj(f"{nm}__v")[col_i]
+        out = np.full(nq, None, dtype=object)
+        t_valid = ~np.isnan(t_ts)
+        e_valid = ~pd.isna(evv)
+        nt, ne = b1 - s, b2 - b1
+        if op == Operation.FIRST:
+            # tiles are strictly older than head events, collapsed older still
+            if cv is not None:
+                out[:] = cv  # collapsed (oldest non-null) wins everywhere
+            else:
+                nxt_t = np.r_[_next_valid(t_valid), nt]
+                nxt_e = np.r_[_next_valid(e_valid), ne]
+                ti = nxt_t[lo_t]
+                tm = ti < hi_t
+                ei = nxt_e[e_lo]
+                em = ei < e_hi
+                out[em] = evv[ei[em]]
+                out[tm] = t_v[ti[tm]]  # tiles (older) override events
+        else:  # LAST: head events newest, then tiles, then collapsed
+            prv_t = _prev_valid(t_valid) if nt else np.empty(0, np.int64)
+            prv_e = _prev_valid(e_valid) if ne else np.empty(0, np.int64)
+            for i in range(nq):
+                v = None
+                if e_hi[i] > e_lo[i]:
+                    j = prv_e[e_hi[i] - 1]
+                    if j >= e_lo[i]:
+                        v = evv[j]
+                if v is None and hi_t[i] > lo_t[i]:
+                    j = prv_t[hi_t[i] - 1]
+                    if j >= lo_t[i]:
+                        v = t_v[j]
+                if v is None:
+                    v = cv
+                out[i] = v
+        return out
+
+    def _serve_sketch(p, nm, op, col, s, b1, b2, col_i, lo_t, hi_t,
+                      e_lo, e_hi, nq, obj, pdf):
+        blobs = obj(f"{nm}__sk")[s:b1]
         cls = fl._sketch_cls(op)
-        if op in fl._FREQ:
-            k = p.k or 1
-            nfp = op == Operation.APPROX_HEAVY_HITTERS_K
+        items = [None if pd.isna(b) else cls.from_bytes(bytes(b))
+                 for b in blobs]
+        seed = None
+        if col_i >= 0 and p.window is None:
+            cb = obj(f"{nm}__sk")[col_i]
+            if not pd.isna(cb):
+                seed = cls.from_bytes(bytes(cb))
+        if p.window is None:
+            slider = _PrefixSketch(items, seed)
+        else:
+            slider = _SwagSketch(items)
+
+        evv = obj(f"__e_{col}")[b1:b2]
+        e_valid = ~pd.isna(evv)
+        vpos = np.flatnonzero(e_valid)
+        if op == Operation.APPROX_UNIQUE_COUNT:
+            hv = hash64(evv[vpos]) if len(vpos) else np.empty(0, np.uint64)
         elif op == Operation.APPROX_PERCENTILE:
+            fv = pd.to_numeric(pd.Series(evv[vpos]), errors="coerce").to_numpy(
+                dtype=np.float64) if len(vpos) else np.empty(0)
+        k = p.k or 1
+        nfp = op == Operation.APPROX_HEAVY_HITTERS_K
+        pcts = None
+        if op == Operation.APPROX_PERCENTILE:
             pcts = [float(x) for x in
                     p.args.get("percentiles", "[0.5]").strip("[] ").split(",")]
-        for si in range(nseg):
-            lo = starts[si]
-            hi = lo + seg_len[si]
-            if not any_row[lo:hi].any():
-                continue
-            sk = None
-            for j in range(lo, hi):
-                if sk_valid[j]:
-                    cur = cls.from_bytes(bytes(sk_arr[j]))
-                    sk = cur if sk is None else sk.merge(cur)
-            vals = [ev_arr[j] for j in range(lo, hi) if ev_valid[j]]
-            if vals:
-                sk = sk or fl._new_sketch(op)
-                sk.update(vals)
-            if sk is None:
-                continue
-            if op == Operation.APPROX_UNIQUE_COUNT:
-                out[si] = int(round(sk.estimate()))
-            elif op in fl._FREQ:
-                out[si] = dict(sk.top_k(k, no_false_positives=nfp))
+
+        out = np.full(nq, None, dtype=object)
+        for i in range(nq):
+            if p.window is None:
+                slider.advance(int(hi_t[i]))
             else:
-                out[si] = sk.quantiles(pcts)
+                slider.advance(int(lo_t[i]), int(hi_t[i]))
+            sk = slider.window_agg()
+            a = np.searchsorted(vpos, e_lo[i])
+            b = np.searchsorted(vpos, e_hi[i])
+            if b > a:
+                if sk is None:
+                    sk = fl._new_sketch(op)
+                if op == Operation.APPROX_UNIQUE_COUNT:
+                    sk.update_hashes(hv[a:b])
+                elif op == Operation.APPROX_PERCENTILE:
+                    sk.update(fv[a:b])
+                else:
+                    sk.update(list(evv[vpos[a:b]]))
+            if sk is not None:
+                out[i] = _finalize_sketch(op, sk, k, nfp, pcts)
         return out
 
     return serve
@@ -356,27 +626,24 @@ def compute_group_by_approx(
     schema AND row cardinality as the exact engine."""
     parts = fl._parts(gb)
     inputs = sorted({p.input_column for p in parts})
-    union, ev, ir_cols = _build_union(spark, gb, queries, row_id, query_time_col)
-    if num_partitions:
-        union = union.repartition(num_partitions, ROW_ID)
+    keys = list(gb.key_columns)
+    union, ev, ir_cols = _build_frames(spark, gb, queries, row_id,
+                                       query_time_col)
 
     _, part_types, out_schema = pit_join._output_schema(gb, dict(
         (f.name, f.dataType) for f in ev.schema.fields), [])
     out_fields = [f.name for f in out_schema.fields if f.name != ROW_ID]
 
-    serve = _make_columnar_serve(parts, ir_cols, inputs, out_schema, out_fields)
+    serve = _make_group_server(parts, inputs, out_fields, keys)
 
-    # ONE python call per rechunked batch, not per query point: groupBy +
-    # applyInPandas invokes the UDF once per ROW_ID (50k queries = 50k
-    # pandas round-trips, measured >7x the exact engine). Hash-partition by
-    # ROW_ID, sort within partitions, and re-chunk at group boundaries with
-    # a carry (same pattern as arrow_engine.make_arrow_runner) so serve()
-    # merges MANY query points per invocation.
-    import numpy as np
-
-    nparts = num_partitions or union.sparkSession.sparkContext.defaultParallelism
-    arranged = union.repartition(nparts, ROW_ID).sortWithinPartitions(
-        ROW_ID, "__kind", "__tile", "__e_ts")
+    # ONE shuffle keyed by the GroupBy keys; each key's rows arrive sorted
+    # (tiles | events | collapsed | queries, each time-ordered) and are
+    # served whole via group-boundary rechunking with a carry (same pattern
+    # as arrow_engine.make_arrow_runner)
+    nparts = (num_partitions
+              or union.sparkSession.sparkContext.defaultParallelism)
+    arranged = union.repartition(nparts, *keys).sortWithinPartitions(
+        *keys, "__kind", "__t")
 
     def runner(batches):
         carry = None
@@ -387,9 +654,8 @@ def compute_group_by_approx(
             n = len(pdf)
             if n == 0:
                 continue
-            rid = pdf[ROW_ID].to_numpy()
-            change = np.flatnonzero(rid[1:] != rid[:-1])
-            last_start = int(change[-1]) + 1 if len(change) else 0
+            gs = np.flatnonzero(_group_starts(pdf[keys]))
+            last_start = int(gs[-1])
             if last_start == 0:  # one group so far: may continue next batch
                 carry = pdf
                 continue

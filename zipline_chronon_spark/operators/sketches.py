@@ -135,6 +135,15 @@ class HllSketch:
                 np.maximum(self.regs, other.regs, out=self.regs)
         return self
 
+    def copy(self) -> "HllSketch":
+        """O(state) deep copy — lets window-sliding servers (approx_engine
+        two-stack merge) hand out an answer without corrupting shared
+        suffix aggregates (``merge`` mutates self)."""
+        sk = HllSketch(lg_k=self.lg_k, sparse_limit=self.sparse_limit)
+        sk.sparse = None if self.sparse is None else self.sparse.copy()
+        sk.regs = None if self.regs is None else self.regs.copy()
+        return sk
+
     def to_bytes(self) -> bytes:
         if self.sparse is not None:
             return (self.MAGIC + struct.pack("<BBI", 0, self.lg_k, len(self.sparse))
@@ -209,6 +218,12 @@ class FreqSketch:
             items = [(key, v + self.error) for key, v in self.counts.items()]
         items.sort(key=lambda kv: (-kv[1], kv[0]))
         return dict(items[:k])
+
+    def copy(self) -> "FreqSketch":
+        sk = FreqSketch(capacity=self.capacity)
+        sk.counts = dict(self.counts)
+        sk.error = self.error
+        return sk
 
     def to_bytes(self) -> bytes:
         body = json.dumps({"c": self.counts, "e": self.error},
@@ -289,6 +304,12 @@ class KllSketch:
             i = int(np.searchsorted(cw, target, side="left"))
             out.append(float(vals[min(i, len(vals) - 1)]))
         return out
+
+    def copy(self) -> "KllSketch":
+        sk = KllSketch(cap=self.cap)
+        sk.levels = [lv.copy() for lv in self.levels]
+        sk.n = self.n
+        return sk
 
     def merge(self, other: "KllSketch") -> "KllSketch":
         while len(self.levels) < len(other.levels):
