@@ -1462,6 +1462,70 @@ def o_staging_pricing() -> str:
         "{{ start_date }}", "1999-01-01").replace("{{ end_date }}", "2001-01-01")
 
 
+def q_approx_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-IR batch serving (operators/approx_engine.py): the same
+    sawtooth rule as the exact engine, served from per-(key, hop-tile) IRs
+    plus exact head events, cogrouped by key with two-stack sketch merges.
+    At driver scale every sketch is in its exact regime (HLL sparse,
+    KLL buffer, Misra-Gries under capacity), so the DuckDB oracle is exact.
+    Aggs chosen tie-insensitive (no FIRST/LAST): the IR tier has no
+    tie-breaker column. Covers windowed + unbounded (collapsed-IR) paths."""
+    from zipline_chronon_spark.operators.approx_engine import compute_group_by_approx
+
+    gb = _events_gb(sf_dir, "approx_serve", (
+        Aggregation("value", Operation.SUM, windows=(W1D, None)),
+        Aggregation("value", Operation.COUNT, windows=(W7D,)),
+        Aggregation("value", Operation.MIN, windows=(W7D,)),
+        Aggregation("value", Operation.MAX, windows=(W1D,)),
+        Aggregation("value", Operation.AVERAGE, windows=(W7D,)),
+        Aggregation("event_type", Operation.APPROX_UNIQUE_COUNT,
+                    windows=(W7D, None)),
+        Aggregation("value", Operation.APPROX_PERCENTILE,
+                    arg_map=(("percentiles", "[0.5, 0.95]"),), windows=(W7D,)),
+    ))
+    left = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", F.col("event_id").alias("__row_id"))
+    )
+    res = compute_group_by_approx(spark, gb, left, row_id="__row_id")
+    return res.select(
+        F.col("__row_id").alias("event_id"),
+        F.round(F.col("value_sum_1d") + F.lit(ROUND_EPS), 4).alias("sum_1d"),
+        F.round(F.col("value_sum") + F.lit(ROUND_EPS), 4).alias("sum_all"),
+        F.col("value_count_7d").alias("cnt_7d"),
+        F.col("value_min_7d").alias("min_7d"),
+        F.col("value_max_1d").alias("max_1d"),
+        F.round(F.col("value_average_7d") + F.lit(ROUND_EPS), 4).alias("avg_7d"),
+        F.col("event_type_approx_unique_count_7d").alias("auc_7d"),
+        F.col("event_type_approx_unique_count").alias("auc_all"),
+        F.round(F.col("value_approx_percentile_7d")[0] + F.lit(ROUND_EPS), 4)
+        .alias("p50_7d"),
+        F.round(F.col("value_approx_percentile_7d")[1] + F.lit(ROUND_EPS), 4)
+        .alias("p95_7d"),
+    )
+
+
+def o_approx_serve() -> str:
+    t1, t7 = _tail(MS_1D, HOP_1H), _tail(MS_7D, HOP_1H)
+    return _oracle(
+        f"""
+        round(sum(v) FILTER (WHERE {t1}) + 0.0000001, 4) AS sum_1d,
+        round(sum(v) + 0.0000001, 4) AS sum_all,
+        CASE WHEN count(v) FILTER (WHERE {t7}) = 0 THEN NULL
+             ELSE count(v) FILTER (WHERE {t7}) END AS cnt_7d,
+        min(v) FILTER (WHERE {t7}) AS min_7d,
+        max(v) FILTER (WHERE {t1}) AS max_1d,
+        round(avg(v) FILTER (WHERE {t7}) + 0.0000001, 4) AS avg_7d,
+        CASE WHEN count(et) FILTER (WHERE {t7}) = 0 THEN NULL
+             ELSE count(DISTINCT et) FILTER (WHERE {t7}) END AS auc_7d,
+        CASE WHEN count(et) = 0 THEN NULL
+             ELSE count(DISTINCT et) END AS auc_all,
+        round(quantile_cont(v, 0.5) FILTER (WHERE {t7}) + 0.0000001, 4) AS p50_7d,
+        round(quantile_cont(v, 0.95) FILTER (WHERE {t7}) + 0.0000001, 4) AS p95_7d
+        """
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship point-in-time Join over sf0.001 (driver smoke check)."""
     return q_join_flagship(spark, "/root/testdata/sf0.001")
@@ -1478,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_histogram": q_pit_histogram,
         "pit_bucketed": q_pit_bucketed,
         "pit_vector_map": q_pit_vector_map,
+        "approx_serve": q_approx_serve,
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
         "join_flagship": q_join_flagship,
@@ -1513,6 +1578,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_histogram": o_pit_histogram(),
         "pit_bucketed": o_pit_bucketed(),
         "pit_vector_map": o_pit_vector_map(),
+        "approx_serve": o_approx_serve(),
         "lag_lead": o_lag_lead(),
         "sessionize": o_sessionize(),
         "join_flagship": o_join_flagship(),
