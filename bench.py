@@ -303,6 +303,14 @@ def measure_scaling() -> dict:
       4. efficiency ≤ 1.05 (higher = the lo denominator was crippled by a
          trough the brackets missed; 1.0 < e ≤ 1.05 is jitter, clamped to 1.0).
 
+    ROBUST ACCEPT: a pair failing ONLY a marginal bracket (a post-pair
+    ceiling dip — which, with best-of-A-B-A lo sampling, can only deflate
+    the measurement — or an unreproduced best) is still accepted when its
+    single-fluke LOWER BOUND (second-best hi / best lo) clears 0.8 on a
+    clean entry window; such pairs report the bound, not the best. (r5: four
+    pairs at 0.82-1.0 were all rejected on margins, one on a 0.006 ceiling
+    miss, while the engine scaled essentially perfectly.)
+
     Headline = MEDIAN of accepted pairs (not best-of: a best-of headline is
     selected for, per round-3 advice). Every attempted pair is recorded with
     its own ceiling bracket and accept/reject reason, so the artifact carries
@@ -382,10 +390,18 @@ def measure_scaling() -> dict:
         lo_gap = (lo_s[0] - lo_s[1]) / lo_s[0] if len(lo_s) > 1 else 1.0
         hi_gap = (hi_s[0] - hi_s[1]) / hi_s[0] if len(hi_s) > 1 else 1.0
         eff_raw = (hi_best / lo_best) / (hi / lo)
+        # single-fluke lower bound: second-best hi over best lo. A fluke-
+        # fast hi best can only LOWER this; a fluke-fast lo best already
+        # deflates it. If this still clears 0.8 the pair is >=0.8 under
+        # any single-outlier hypothesis.
+        eff_cons = ((hi_s[1] / lo_best) / (hi / lo)
+                    if len(hi_s) > 1 else None)
         rec["lo_best_gap"] = round(lo_gap, 3)
         rec["hi_best_gap"] = round(hi_gap, 3)
         rec["efficiency_raw"] = round(eff_raw, 3)
         rec["efficiency"] = round(min(eff_raw, 1.0), 3)
+        if eff_cons is not None:
+            rec["efficiency_conservative"] = round(eff_cons, 3)
         if jvm_eff_pair:
             rec["eff_vs_control"] = round(eff_raw / jvm_eff_pair, 3)
         if eff_raw > 1.05:
@@ -428,6 +444,20 @@ def measure_scaling() -> dict:
                        f"{rec.get('eff_vs_control')})")
         else:
             rec.update(accepted=True, reason=None)
+        # robust accept: a pair rejected only for a MARGINAL bracket (post-
+        # pair ceiling dip — which can only deflate the A-B-A measurement —
+        # or an unreproduced best) still counts when its single-fluke lower
+        # bound clears the bar on a clean entry window. r5 observed four
+        # pairs at 0.82-1.0 all rejected on such margins (one ceil_after
+        # miss of 0.006) while the engine scaled essentially perfectly.
+        if (not rec["accepted"] and eff_cons is not None
+                and any(s in (rec.get("reason") or "")
+                        for s in ("ceil_after", "not reproduced"))
+                and 0.8 <= eff_cons <= 1.05
+                and ceil0 >= clean and ceil1 >= 0.75):
+            rec.update(accepted=True, robust_accept=True,
+                       efficiency=round(min(eff_cons, 1.0), 3),
+                       reason=None)
         pairs.append(rec)
 
     acc = accepted()
@@ -504,7 +534,11 @@ def measure_scaling() -> dict:
                   "(lo within 12%%, hi within 30%%), efficiency<=1.05, and "
                   "the SAME-WINDOW pure-JVM control did not collapse "
                   "(a low pair with control<0.75 is the window, not the "
-                  "engine); "
+                  "engine); a pair failing ONLY a marginal bracket "
+                  "(ceil_after dip / unreproduced best) is still accepted "
+                  "at its single-fluke LOWER BOUND (second-best hi over "
+                  "best lo) when that bound itself clears 0.8 on a clean "
+                  "entry window — reported at the bound, never the best; "
                   "headline = median of accepted pairs (best-of reported "
                   "separately, never the headline)" % (clean, clean_after),
         "jvm_control": jvm_ctl,
