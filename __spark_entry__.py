@@ -826,6 +826,59 @@ def o_dedup_simhash() -> str:
     """
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-banded candidates (md5 fixed-
+    point hyperplanes — DuckDB bit-replayable), exact JVM-side sequential
+    cosine decides the threshold (operators/dedup.embedding_near_dup_pairs).
+    Synthetic embeddings are near-orthogonal (max pairwise cosine ~0.5-0.6),
+    so the 'near-dup' threshold here is 0.35 — the operator contract, not
+    the data, is what's under test."""
+    from zipline_chronon_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_dup_pairs(emb, threshold=0.35)
+    return out.select(
+        "id_a", "id_b",
+        F.round(F.col("sim") + F.lit(ROUND_EPS), 6).alias("sim"))
+
+
+def o_dedup_embedding() -> str:
+    # exact oracle while no (band, bucket) cell exceeds max_bucket=4096
+    # (true at every driver/bench SF; the subsample knob is skew defense)
+    return """
+    WITH comps AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    ), planes AS (
+      SELECT tp.p, td.d,
+             CAST(('0x' || substr(md5('lsh7:' || tp.p || ':' || td.d), 1, 15)) AS BIGINT)
+               - 576460752303423488 AS w
+      FROM range(16) tp(p), range(64) td(d)
+    ), dots AS (
+      SELECT c.vec_id, pl.p, sum(c.x * pl.w) AS dot
+      FROM comps c JOIN planes pl USING (d)
+      GROUP BY c.vec_id, pl.p
+    ), buckets AS (
+      SELECT vec_id, p // 4 AS band,
+             sum(CASE WHEN dot >= 0 THEN 1 << (p % 4) ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id, p // 4
+    ), pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), sims AS (
+      SELECT p.id_a, p.id_b,
+             list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])) AS sim
+      FROM pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
+                   JOIN embeddings eb ON eb.vec_id = p.id_b
+    )
+    SELECT id_a, id_b, round(sim + 0.0000001, 6) AS sim
+    FROM sims WHERE sim >= 0.35
+    """
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipline_chronon_spark.operators.text import with_text_features
 
@@ -1552,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_groups": q_dedup_groups,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "text_features": q_text_features,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
@@ -1588,6 +1642,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": o_dedup_minhash_lsh(),
         "dedup_groups": o_dedup_groups(),
         "dedup_simhash": o_dedup_simhash(),
+        "dedup_embedding": o_dedup_embedding(),
         "text_features": o_text_features(),
         "fingerprint": o_fingerprint(),
         "multimodal_meta": o_multimodal_meta(),

@@ -129,3 +129,36 @@ def test_duplicate_groups_adversarial_chain_and_star(spark):
         {"id_a": list(range(n - 1)), "id_b": list(range(1, n))}))
     with pytest.raises(RuntimeError, match="did not converge"):
         duplicate_groups(docs, pairs, max_iters=3)
+
+
+def test_embedding_near_dup_pairs(spark):
+    """Planted near-dups (tiny perturbations of a base vector) must pair
+    with the exact sequential-fold cosine; orthogonal vectors must not;
+    the hot-bucket cap bounds cell cost deterministically."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16)
+    rows = []
+    for i in range(4):  # cluster: 4 near-identical vectors -> same buckets
+        rows.append((i, list(base + 1e-3 * rng.normal(size=16))))
+    for i in range(4, 12):  # noise: random directions
+        rows.append((i, list(rng.normal(size=16))))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = dedup.embedding_near_dup_pairs(df, threshold=0.99).toPandas()
+    got = set(zip(out.id_a, out.id_b))
+    want = {(a, b) for a in range(4) for b in range(a + 1, 4)}
+    assert got == want, (got, want)
+    # sim is the exact cosine of the double-cast vectors
+    vecs = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+    for r in out.itertuples():
+        a, b = vecs[r.id_a], vecs[r.id_b]
+        exact = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.sim - exact) < 1e-12, (r.id_a, r.id_b, r.sim, exact)
+    # hot-bucket cap: identical vectors all land in one cell; a cap of 4
+    # stride-subsamples it, so pair count drops but never errors
+    many = spark.createDataFrame(pd.DataFrame(
+        [(i, list(base)) for i in range(40)], columns=["vec_id", "embedding"]))
+    capped = dedup.embedding_near_dup_pairs(many, threshold=0.99,
+                                            max_bucket=4).toPandas()
+    full_pairs = 40 * 39 // 2
+    assert 0 < len(capped) < full_pairs

@@ -349,3 +349,79 @@ def duplicate_groups(
             f"in the small-star/large-star contraction for this graph")
     return labels.select(F.col("id").alias(id_col),
                          F.col("label").alias("group_id"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
+    seed: int = 7,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, sim) for every
+    pair that shares at least one random-hyperplane LSH band AND has exact
+    cosine similarity >= threshold.
+
+    Scale shape (the sixth dedup family — the embedding-space counterpart
+    of minhash_lsh_pairs): vectors are banded by similarity.band_buckets
+    (one GEMM per Arrow batch against md5-derived fixed-point hyperplanes),
+    candidates are generated ONLY within (band, bucket) cells — never
+    all-pairs — with the same deterministic stride-subsample cap on
+    pathological hot cells (max_bucket). Cost is sum(cell^2) over cells,
+    i.e. proportional to near-dup density, not n^2.
+
+    Determinism at the threshold boundary: the in-cell GEMM only PREfilters
+    at (threshold - 1e-6); surviving pairs are re-scored JVM-side with a
+    sequential zip_with/aggregate cosine over the double-cast vectors — the
+    exact left-to-right fold an external SQL oracle computes — so the >=
+    threshold decision never depends on BLAS summation order. Zero vectors
+    can never emit (their normalized row scores 0 in the prefilter).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from zipline_chronon_spark.operators.similarity import (
+        _normalized_matrix, band_buckets)
+
+    cells = band_buckets(df.select(id_col, vec_col), id_col, vec_col,
+                         n_bands, planes_per_band, seed)
+
+    def cand(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        if len(pdf) > max_bucket:
+            pdf = pdf.sort_values(id_col).iloc[:: (len(pdf) // max_bucket) + 1]
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        m = _normalized_matrix(pdf[vec_col])
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold - 1e-6
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame({"id_a": np.minimum(a, b),
+                             "id_b": np.maximum(a, b)})
+
+    pairs = (cells.groupBy("band", "bucket")
+             .applyInPandas(cand, schema="id_a long, id_b long")
+             .dropDuplicates(["id_a", "id_b"]))
+
+    va, vb = F.col("__va"), F.col("__vb")
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda v: F.sqrt(F.aggregate(  # noqa: E731
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x))
+    sim = (dot / (norm(va) * norm(vb))).alias("sim")
+    return (
+        pairs
+        .join(df.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).cast("array<double>").alias("__va")),
+              "id_a")
+        .join(df.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).cast("array<double>").alias("__vb")),
+              "id_b")
+        .select("id_a", "id_b", sim)
+        .where(F.col("sim") >= threshold)
+    )
