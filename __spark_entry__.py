@@ -1048,6 +1048,56 @@ def o_ann_lsh_topk() -> str:
     """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (similarity.ivf_topk): md5-seeded codebook of 16
+    corpus vectors as the coarse quantizer, nearest-cell assignment, each
+    query probes its 4 nearest cells, one cogrouped Arrow GEMM per cell.
+    The codebook seeding, epsilon-rounded assignment ranking, and cell
+    membership are all replayed exactly by the DuckDB oracle."""
+    from zipline_chronon_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(emb, k=3, n_cells=16, nprobe=4)
+    return out.select("vec_id", "neighbor_id", "rank",
+                      F.round(F.col("sim") + F.lit(ROUND_EPS), 6).alias("sim"))
+
+
+def o_ann_ivf_topk() -> str:
+    # replay of ivf_topk: seeds = 16 smallest md5(id) corpus vectors;
+    # assignment/probe rank = round(cosine + eps, 6) desc, centroid id asc;
+    # corpus cell = rank 1, probes = rank <= 4; a (q, n) pair meets in at
+    # most one cell (each n lives in exactly one), so no dedup needed
+    return """
+    WITH seeds AS (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ), asgn AS (
+      SELECT e.vec_id, s.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(s.cemb AS DOUBLE[]))
+                              + 0.0000001, 6) DESC,
+                        s.cid ASC) AS crk
+      FROM embeddings e CROSS JOIN seeds s
+    ), corpus AS (SELECT vec_id, cid FROM asgn WHERE crk = 1),
+    probes AS (SELECT vec_id, cid FROM asgn WHERE crk <= 4),
+    p AS (
+      SELECT q.vec_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                    CAST(ec.embedding AS DOUBLE[])) AS sim
+      FROM probes q JOIN corpus c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+      JOIN embeddings eq ON eq.vec_id = q.vec_id
+      JOIN embeddings ec ON ec.vec_id = c.vec_id
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rk
+      FROM p
+    )
+    SELECT vec_id, neighbor_id, rk::INT AS rank, round(sim + 0.0000001, 6) AS sim
+    FROM r WHERE rk <= 3
+    """
+
+
 def q_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(EVENTS, EVENTS, SNAPSHOT) join-part cell: each left event on ts-day d
     sees features as of end-of-day(d-1) (JoinPartJob.scala:220 shifted range
@@ -1611,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "join_snapshot": q_join_snapshot,
         "entities_temporal": q_entities_temporal,
         "entity_online_fetch": q_entity_online_fetch,
@@ -1648,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": o_multimodal_meta(),
         "ann_cosine_topk": o_ann_cosine_topk(),
         "ann_lsh_topk": o_ann_lsh_topk(),
+        "ann_ivf_topk": o_ann_ivf_topk(),
         "join_snapshot": o_join_snapshot(),
         "entities_temporal": o_entities_temporal(),
         "entity_online_fetch": o_entity_online_fetch(),

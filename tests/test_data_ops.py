@@ -75,6 +75,29 @@ def test_lsh_vs_brute_force(embeddings):
     assert recall > 5 * random_recall, (recall, random_recall)
 
 
+def test_ivf_vs_brute_force(embeddings):
+    brute = similarity.brute_force_topk(embeddings, k=3).toPandas()
+    ivf = similarity.ivf_topk(embeddings, k=3, n_cells=8, nprobe=3).toPandas()
+    # 1) every IVF-scored pair carries the exact cosine (same scorer)
+    bmap = {(r.vec_id, r.neighbor_id): r.sim for r in brute.itertuples()}
+    checked = 0
+    for r in ivf.itertuples():
+        if (r.vec_id, r.neighbor_id) in bmap:
+            assert abs(bmap[(r.vec_id, r.neighbor_id)] - r.sim) < 1e-9
+            checked += 1
+    assert checked > 0
+    # 2) probing 3 of 8 cells must beat random-candidate recall clearly
+    bset = set(zip(brute.vec_id, brute.neighbor_id))
+    iset = set(zip(ivf.vec_id, ivf.neighbor_id))
+    recall = len(bset & iset) / len(bset)
+    n = embeddings.count()
+    random_recall = 3 / (n - 1)
+    assert recall > 5 * random_recall, (recall, random_recall)
+    # 3) every vector still gets neighbors (probed cells are never empty:
+    # a query's own cell is always among its nprobe nearest)
+    assert ivf.vec_id.nunique() == n
+
+
 def test_duplicate_groups_components(spark):
     """Connected components over a pair list: chains collapse to one
     min-labeled group, singletons label themselves, and propagation

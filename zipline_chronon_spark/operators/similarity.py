@@ -16,6 +16,13 @@ driver — no toPandas/collect anywhere):
    deduped before the global top-k window. Multi-band bounds the recall
    loss of any single band; `max_bucket` caps cell size (deterministic
    stride subsample) so one hot bucket cannot go quadratic.
+ - ivf_topk: inverted-file (IVF) partitioned search. A small md5-seeded
+   codebook of corpus vectors is the coarse quantizer; every vector is
+   assigned to its nearest centroid's cell, each query probes its
+   `nprobe` nearest cells, and scoring happens only inside probed cells
+   (one cogrouped Arrow GEMM per cell). Cost ~ n * (n/n_cells) * nprobe;
+   the codebook is the only driver-side state (n_cells x dim floats —
+   the classic IVF broadcast).
 
 All scoring emits are columnar (argsort/lexsort + np.repeat) — no per-row
 Python anywhere (BASELINE.json input_hint: vectorized pandas/Arrow UDFs).
@@ -215,4 +222,94 @@ def lsh_bucketed_topk(
         .applyInPandas(score, schema="q long, n long, s double")
         .dropDuplicates(["q", "n"])  # same pair may surface in many bands
     )
+    return _global_topk(cand, id_col, k)
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed_round: int = 6,
+    max_cell: int = 4096,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into `n_cells` cells, probe `nprobe` cells per query, score only
+    inside probed cells. Returns (id, neighbor_id, rank, sim); per-cell
+    top-k + global window merge is EXACT top-k over the union of probed
+    cells' members (same argument as lsh_bucketed_topk).
+
+    The codebook is deterministic and cross-engine replayable — no k-means:
+    centroids are the `n_cells` corpus vectors with the smallest
+    md5(id-as-string), the same fixed-point-replay idiom as
+    dedup.PERM_SALTS / _md5_planes (DuckDB: ORDER BY md5(vec_id::VARCHAR)).
+    Seeded codebooks trade some cell balance for bit-exact replay; cell
+    skew is bounded by `max_cell` (deterministic stride subsample of a hot
+    cell's corpus side). Assignment/probe ranking rounds cosine to
+    `seed_round` decimals (+ the repo-wide 1e-7 epsilon) before ordering
+    and tie-breaks by centroid id, so a float ULP difference between
+    engines cannot flip a cell assignment.
+
+    Scale shape: assignment is one map-only GEMM pass against the
+    broadcast codebook (n_cells x dim — the only driver-side state, the
+    classic IVF codebook broadcast); scoring shuffles the corpus once
+    (keyed by owner cell) and queries nprobe times. Cost
+    ~ n * nprobe * (n / n_cells) versus n^2 brute force; n_cells grows
+    as sqrt(n) at scale."""
+    from pyspark.sql import types as T
+
+    base = df.select(id_col, vec_col)
+    seeds = (base
+             .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+             .limit(n_cells).collect())
+    cids = np.array([r[0] for r in seeds], dtype=np.int64)
+    cmat = _normalized_matrix(pd.Series([np.asarray(r[1]) for r in seeds]))
+    nprobe = min(nprobe, len(cids))
+
+    out_schema = T.StructType(base.schema.fields + [
+        T.StructField("cell", T.LongType()),
+        T.StructField("crk", T.IntegerType()),
+    ])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _normalized_matrix(pdf[vec_col])
+            # epsilon-then-round before ranking: see docstring
+            sims = np.round(m @ cmat.T + 1e-7, seed_round)
+            nq, nc = sims.shape
+            row = np.repeat(np.arange(nq, dtype=np.int64), nc)
+            order = np.lexsort((np.tile(cids, nq), -sims.reshape(-1), row))
+            take = (np.arange(nq, dtype=np.int64)[:, None] * nc
+                    + np.arange(nprobe, dtype=np.int64)[None, :]).reshape(-1)
+            sel = order[take] % nc
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
+                vec_col: pdf[vec_col].to_numpy().repeat(nprobe),
+                "cell": cids[sel],
+                "crk": np.tile(np.arange(nprobe, dtype=np.int32), nq),
+            })
+
+    assigned = base.mapInPandas(assign, schema=out_schema)
+    corpus = assigned.where(F.col("crk") == 0).drop("crk")
+    probes = assigned.drop("crk")  # every vector queries its nprobe cells
+
+    def score(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({"q": [], "n": [], "s": []}).astype(
+                {"q": "int64", "n": "int64", "s": "float64"})
+        if len(cpdf) > max_cell:
+            cpdf = cpdf.sort_values(id_col).iloc[:: (len(cpdf) // max_cell) + 1]
+        return _topk_candidates(
+            qpdf[id_col].to_numpy(dtype=np.int64), _normalized_matrix(qpdf[vec_col]),
+            cpdf[id_col].to_numpy(dtype=np.int64), _normalized_matrix(cpdf[vec_col]),
+            k)
+
+    # each corpus vector lives in exactly ONE cell, so a (q, n) pair meets
+    # in at most one probed cell — no cross-cell dedup needed
+    cand = (probes.groupBy("cell").cogroup(corpus.groupBy("cell"))
+            .applyInPandas(score, schema="q long, n long, s double"))
     return _global_topk(cand, id_col, k)
