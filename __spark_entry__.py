@@ -885,7 +885,7 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     out = with_text_features(docs)
     return out.select(
-        "doc_id", "n_chars_f", "n_tokens", "n_stopwords",
+        "doc_id", "n_chars_f", "n_tokens", "n_bpe_tokens", "n_stopwords",
         F.round(F.col("punct_ratio") + F.lit(ROUND_EPS), 6).alias("punct_ratio"),
         F.round(F.col("stopword_ratio") + F.lit(ROUND_EPS), 6).alias("stopword_ratio"),
         F.round(F.col("quality_score") + F.lit(ROUND_EPS), 6).alias("quality_score"),
@@ -894,14 +894,16 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_text_features() -> str:
-    from zipline_chronon_spark.operators.text import STOPWORDS
+    from zipline_chronon_spark.operators.text import BPE_TOKEN_RE, STOPWORDS
 
     stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    bpe_re = BPE_TOKEN_RE.replace("'", "''")
     return f"""
     WITH f AS (
       SELECT doc_id,
              length(text)::BIGINT AS n_chars_f,
              len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+             len(regexp_extract_all(text, '{bpe_re}'))::BIGINT AS n_bpe_tokens,
              len(list_filter(string_split_regex(trim(text), '\\s+'),
                              t -> list_contains([{stop}], lower(t))))::BIGINT AS n_stopwords,
              (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::BIGINT AS n_punct
@@ -911,7 +913,7 @@ def o_text_features() -> str:
              n_stopwords * 1.0 / greatest(n_tokens, 1) AS stopword_ratio
       FROM f
     )
-    SELECT doc_id, n_chars_f, n_tokens, n_stopwords,
+    SELECT doc_id, n_chars_f, n_tokens, n_bpe_tokens, n_stopwords,
            round(punct_ratio + 0.0000001, 6) AS punct_ratio,
            round(stopword_ratio + 0.0000001, 6) AS stopword_ratio,
            round(least(n_tokens / 50.0, 1.0) * 0.5

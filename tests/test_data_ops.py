@@ -75,6 +75,24 @@ def test_lsh_vs_brute_force(embeddings):
     assert recall > 5 * random_recall, (recall, random_recall)
 
 
+def test_bpe_token_count(spark):
+    """BPE-ish pretokenizer counts: contractions split off, letter/digit/
+    punct runs each one token, leading spaces absorbed into the next run."""
+    from zipline_chronon_spark.operators.text import bpe_token_count
+
+    rows = [
+        (0, "don't stop"),         # don | 't | _stop            -> 3
+        (1, "hello world"),        # hello | _world              -> 2
+        (2, "a1b2"),               # a | 1 | b | 2               -> 4
+        (3, "wait... what?!"),     # wait | ... | _what | ?!     -> 4
+        (4, ""),                   # empty                       -> 0
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r.doc_id: r.n for r in
+           df.select("doc_id", bpe_token_count("text").alias("n")).collect()}
+    assert got == {0: 3, 1: 2, 2: 4, 3: 4, 4: 0}, got
+
+
 def test_ivf_vs_brute_force(embeddings):
     brute = similarity.brute_force_topk(embeddings, k=3).toPandas()
     ivf = similarity.ivf_topk(embeddings, k=3, n_cells=8, nprobe=3).toPandas()

@@ -5,6 +5,7 @@ everything stays JVM-side / whole-stage-codegen).
 All functions are deterministic and ANSI-SQL-expressible so the DuckDB
 oracle can replay them exactly:
  - token_count: whitespace tokenization
+ - bpe_token_count: GPT-2-shaped pretokenizer regex (RE2-safe subset)
  - quality features: char length, punctuation ratio, stopword ratio, a
    composite quality score
  - lang_id: marker-stopword heuristic (en/unknown)
@@ -27,6 +28,21 @@ def _tokens(col: str) -> F.Column:
 
 def token_count(col: str) -> F.Column:
     return F.size(_tokens(col)).cast("long")
+
+
+# GPT-2-style pretokenizer shape, restricted to constructs Java regex and
+# RE2 (DuckDB) treat identically: contraction suffixes, letter runs, digit
+# runs, punctuation runs (each optionally space-prefixed), whitespace runs.
+# The real GPT-2 pattern's \p{L}/\p{N} classes and trailing-space lookahead
+# are dropped for cross-engine replay; counts track BPE pre-token counts
+# closely on ASCII-dominant corpora (the point is a cheap length-in-tokens
+# signal, not an exact tokenizer).
+BPE_TOKEN_RE = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +"
+
+
+def bpe_token_count(col: str) -> F.Column:
+    """Count of BPE-ish pre-tokens — JVM-side regexp_extract_all, no UDF."""
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(BPE_TOKEN_RE), 0)).cast("long")
 
 
 def char_ngrams(col: str, n: int) -> F.Column:
@@ -52,11 +68,12 @@ def punct_count(col: str) -> F.Column:
 
 
 def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
-    """Adds n_chars_f, n_tokens, n_stopwords, punct_ratio, stopword_ratio,
-    quality_score, lang_pred."""
+    """Adds n_chars_f, n_tokens, n_bpe_tokens, n_stopwords, punct_ratio,
+    stopword_ratio, quality_score, lang_pred."""
     df = (
         df.withColumn("n_chars_f", F.length(col).cast("long"))
         .withColumn("n_tokens", token_count(col))
+        .withColumn("n_bpe_tokens", bpe_token_count(col))
         .withColumn("n_stopwords", stopword_count(col))
         .withColumn("n_punct", punct_count(col))
     )
