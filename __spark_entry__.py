@@ -31,7 +31,10 @@ from zipline_chronon_spark.api import (
 )
 from zipline_chronon_spark.operators import extensions
 from zipline_chronon_spark.operators.join import compute_join
-from zipline_chronon_spark.operators.pit_join import compute_group_by
+from zipline_chronon_spark.operators.pit_join import (
+    compute_group_by,
+    compute_group_by_self,
+)
 
 W1D = Window(1, TimeUnit.DAYS)
 W7D = Window(7, TimeUnit.DAYS)
@@ -67,13 +70,17 @@ def _events_gb(sf_dir: str, name: str, aggs: tuple) -> GroupBy:
 def _pit(spark: SparkSession, sf_dir: str, name: str, aggs: tuple,
          outputs: dict[str, tuple[str, int | None]]) -> DataFrame:
     """Run a GroupBy with left = the events themselves (each event queries at
-    its own ts); project event_id + aliased/rounded feature columns."""
+    its own ts); project event_id + aliased/rounded feature columns.
+
+    Uses the engine's self-enrichment fast path (compute_group_by_self):
+    when the left IS the source at its own timestamps, the union-mode plan
+    (events ∪ queries = 2N rows scanned, shuffled and fed to Arrow) is pure
+    overhead — one scan/shuffle of N side=2 rows computes the identical
+    result (row-for-row equal to compute_group_by with this left; the
+    events table has no null keys/timestamps at any SF, so the union-mode
+    null-key left rows the fast path cannot represent do not occur)."""
     gb = _events_gb(sf_dir, name, aggs)
-    left = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select("user_id", "ts", F.col("event_id").alias("__row_id"))
-    )
-    res = compute_group_by(spark, gb, left, row_id="__row_id")
+    res = compute_group_by_self(spark, gb, row_id_expr="event_id")
     cols = [F.col("__row_id").alias("event_id")]
     for src, (alias, digits) in outputs.items():
         c = F.col(src)
@@ -497,11 +504,8 @@ def q_pit_vector_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         tie_breaker_column="event_id",
     )
-    left = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select("user_id", "ts", F.col("event_id").alias("__row_id"))
-    )
-    res = compute_group_by(spark, gb, left, row_id="__row_id")
+    # self-enrichment fast path — same rationale as _pit
+    res = compute_group_by_self(spark, gb, row_id_expr="event_id")
     return res.select(
         F.col("__row_id").alias("event_id"),
         F.round(F.col("vals_sum_1d") + F.lit(ROUND_EPS), 4).alias("vec_sum_1d"),
@@ -1252,13 +1256,22 @@ def q_entities_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.col("its") + _DEL_LAG_MS).alias("dts"),
         "event_id",
     )
-    days = spark.range(_EPOCH_JAN16 - 1, _EPOCH_JAN16 + 14).select(
-        F.col("id").alias("d"))
+    # a row is live in snapshot day d iff iday <= d and (not deleted, or
+    # deleted at/after eod(d), i.e. d <= floor(dts/day) - 1); emit that
+    # CONTIGUOUS day range with a map-side explode(sequence(...)) instead of
+    # the old days-frame join — the non-equi join planned as a
+    # BroadcastNestedLoopJoin evaluating 15 x |rows| predicates, while the
+    # explode touches each row once (identical output rows)
+    d_lo, d_hi = _EPOCH_JAN16 - 1, _EPOCH_JAN16 + 13
+    d_start = F.greatest(F.col("iday"), F.lit(d_lo))
+    d_end = F.least(
+        F.lit(d_hi),
+        F.coalesce((F.col("dts") / MS_1D).cast("long") - 1, F.lit(d_hi)))
     snap = (
-        days.join(rows, (rows["iday"] <= days["d"])
-                  & ~(rows["dts"].isNotNull()
-                      & (rows["dts"] < (days["d"] + 1) * MS_1D)))
+        rows.where(d_start <= d_end)
         .select("user_id", "value", F.col("its").alias("ts"),
+                F.explode(F.sequence(d_start, d_end)).alias("d"))
+        .select("user_id", "value", "ts",
                 F.date_format(F.expr("timestamp_millis(d * 86400000)"),
                               "yyyy-MM-dd").alias("ds"))
     )

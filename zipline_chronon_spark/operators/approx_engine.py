@@ -63,7 +63,7 @@ from pyspark.sql import functions as F
 
 from zipline_chronon_spark.api import GroupBy, Operation
 from zipline_chronon_spark.online import fetcher as fl
-from zipline_chronon_spark.operators import pit_join
+from zipline_chronon_spark.operators import kernels, pit_join
 from zipline_chronon_spark.operators.sketches import hash64
 
 ROW_ID = pit_join.ROW_ID
@@ -361,6 +361,7 @@ def _make_group_server(parts, inputs, out_fields, keys):
         # batch-level column caches (lazy, one C-level conversion each)
         num_cache: dict = {}
         obj_cache: dict = {}
+        numf_cache: dict = {}
 
         def num(col):
             if col not in num_cache:
@@ -371,6 +372,23 @@ def _make_group_server(parts, inputs, out_fields, keys):
             if col not in obj_cache:
                 obj_cache[col] = _obj(pdf, col)
             return obj_cache[col]
+
+        def numf(col):
+            """(values, valid) for NATIVELY numeric columns, else None —
+            the dtype check keeps string/object columns on the exact
+            object-comparison path (pd.to_numeric would silently coerce
+            numeric-looking strings and change MIN/MAX ordering)."""
+            if col not in numf_cache:
+                ser = pdf[col]
+                if pd.api.types.is_integer_dtype(ser):
+                    v = ser.to_numpy(dtype=np.int64)
+                    numf_cache[col] = (v, np.ones(len(v), dtype=bool))
+                elif pd.api.types.is_float_dtype(ser):
+                    v = ser.to_numpy(dtype=np.float64)
+                    numf_cache[col] = (v, ~np.isnan(v))
+                else:
+                    numf_cache[col] = None
+            return numf_cache[col]
 
         out_rid: list = []
         out_cols: dict = {nm: [] for _, nm, _, _ in keyed}
@@ -422,7 +440,7 @@ def _make_group_server(parts, inputs, out_fields, keys):
                 elif op in (Operation.MIN, Operation.MAX):
                     out_cols[nm].append(_serve_extreme(
                         nm, op, col, s, b1, b2, ci, lo_t, hi_t,
-                        e_lo, e_hi, nq, obj))
+                        e_lo, e_hi, nq, obj, numf))
                 else:  # FIRST / LAST
                     out_cols[nm].append(_serve_first_last(
                         nm, op, col, s, b1, b2, ci, lo_t, hi_t,
@@ -487,12 +505,58 @@ def _make_group_server(parts, inputs, out_fields, keys):
         return out
 
     def _serve_extreme(nm, op, col, s, b1, b2, col_i, lo_t, hi_t,
-                       e_lo, e_hi, nq, obj):
+                       e_lo, e_hi, nq, obj, numf):
         lo_t = _rng(lo_t, nq)
         suffix = "min" if op == Operation.MIN else "max"
+        is_min = op == Operation.MIN
+        t_nf = numf(f"{nm}__{suffix}")
+        e_nf = numf(f"__e_{col}")
+        if t_nf is not None and e_nf is not None:
+            # numeric fast path: O(n log n) sparse-table build + O(1) range
+            # min/max per query (kernels._SparseTable, the exact engine's
+            # RMQ) replaces the per-query deque loop. Invalid positions are
+            # filled with the op identity so they can never win a range;
+            # emptiness is decided by separate validity prefix counts.
+            tvv, tok = t_nf[0][s:b1], t_nf[1][s:b1]
+            evv_, eok = e_nf[0][b1:b2], e_nf[1][b1:b2]
+            is_int = tvv.dtype == np.int64 and evv_.dtype == np.int64
+            if is_int:
+                fill = np.iinfo(np.int64).max if is_min else np.iinfo(np.int64).min
+            else:
+                tvv, evv_ = tvv.astype(np.float64), evv_.astype(np.float64)
+                fill = np.inf if is_min else -np.inf
+            npop = np.minimum if is_min else np.maximum
+            dt = tvv.dtype
+
+            def range_ext(vals, ok, lo, hi):
+                res = np.full(nq, fill, dtype=dt)
+                has = np.zeros(nq, dtype=bool)
+                if len(vals):
+                    v = np.where(ok, vals, fill)
+                    st = kernels._SparseTable(v, npop)
+                    r = st.query(lo, hi)
+                    m = hi > lo
+                    res[m] = r[m]
+                    cnt = np.zeros(len(ok) + 1, dtype=np.int64)
+                    np.cumsum(ok, out=cnt[1:])
+                    has = (cnt[hi] - cnt[lo]) > 0
+                return res, has
+
+            rt, has_t = range_ext(tvv, tok, lo_t, hi_t)
+            re_, has_e = range_ext(evv_, eok, e_lo, e_hi)
+            res = npop(rt, re_)
+            ok = has_t | has_e
+            if col_i >= 0:
+                c = t_nf[0][col_i]
+                if t_nf[1][col_i]:
+                    res = npop(res, c)
+                    ok |= True
+            out = np.full(nq, None, dtype=object)
+            out[ok] = res[ok]
+            return out
+        # object/string path: amortized deque sweep (orderable any-dtype)
         tv = obj(f"{nm}__{suffix}")[s:b1]
         evv = obj(f"__e_{col}")[b1:b2]
-        is_min = op == Operation.MIN
         t_ext = _SlideExtreme(tv, ~pd.isna(tv), is_min)
         e_ext = _SlideExtreme(evv, ~pd.isna(evv), is_min)
         cv = None
@@ -537,22 +601,21 @@ def _make_group_server(parts, inputs, out_fields, keys):
                 em = ei < e_hi
                 out[em] = evv[ei[em]]
                 out[tm] = t_v[ti[tm]]  # tiles (older) override events
-        else:  # LAST: head events newest, then tiles, then collapsed
-            prv_t = _prev_valid(t_valid) if nt else np.empty(0, np.int64)
-            prv_e = _prev_valid(e_valid) if ne else np.empty(0, np.int64)
-            for i in range(nq):
-                v = None
-                if e_hi[i] > e_lo[i]:
-                    j = prv_e[e_hi[i] - 1]
-                    if j >= e_lo[i]:
-                        v = evv[j]
-                if v is None and hi_t[i] > lo_t[i]:
-                    j = prv_t[hi_t[i] - 1]
-                    if j >= lo_t[i]:
-                        v = t_v[j]
-                if v is None:
-                    v = cv
-                out[i] = v
+        else:  # LAST: head events newest, then tiles, then collapsed —
+            # vectorized gathers (prev-valid index per range end), assigned
+            # lowest-precedence first so later masks override
+            if cv is not None:
+                out[:] = cv
+            if nt:
+                prv_t = _prev_valid(t_valid)
+                jt = prv_t[np.maximum(hi_t, 1) - 1]
+                tm = (hi_t > lo_t) & (jt >= lo_t)
+                out[tm] = t_v[jt[tm]]
+            if ne:
+                prv_e = _prev_valid(e_valid)
+                je = prv_e[np.maximum(e_hi, 1) - 1]
+                em = (e_hi > e_lo) & (je >= e_lo)
+                out[em] = evv[je[em]]
         return out
 
     def _serve_sketch(p, nm, op, col, s, b1, b2, col_i, lo_t, hi_t,
@@ -586,26 +649,45 @@ def _make_group_server(parts, inputs, out_fields, keys):
             pcts = [float(x) for x in
                     p.args.get("percentiles", "[0.5]").strip("[] ").split(",")]
 
+        a = np.searchsorted(vpos, e_lo)
+        b = np.searchsorted(vpos, e_hi)
+        lo_eff = _rng(lo_t if p.window is not None else None, nq)
+        # batched segment sweep (round-5 verdict item #2): queries sharing
+        # (tile window, head-slice start) — constant within one hop — are
+        # served from ONE window_agg copy; head events append incrementally
+        # (b is monotone) and finalize is read-only, so per-query cost drops
+        # from copy+merge+update to update-delta+finalize. Result content is
+        # identical: within a segment a[i] is constant, so the cumulative
+        # updates [a, b_i) equal the old per-query fresh-copy updates.
+        seg_start = np.zeros(nq, dtype=bool)
+        if nq:
+            seg_start[0] = True
+            seg_start[1:] = ((lo_eff[1:] != lo_eff[:-1])
+                             | (hi_t[1:] != hi_t[:-1]) | (a[1:] != a[:-1]))
+        starts = np.flatnonzero(seg_start)
+        ends = np.r_[starts[1:], nq]
         out = np.full(nq, None, dtype=object)
-        for i in range(nq):
+        for s0, s1 in zip(starts, ends):
             if p.window is None:
-                slider.advance(int(hi_t[i]))
+                slider.advance(int(hi_t[s0]))
             else:
-                slider.advance(int(lo_t[i]), int(hi_t[i]))
-            sk = slider.window_agg()
-            a = np.searchsorted(vpos, e_lo[i])
-            b = np.searchsorted(vpos, e_hi[i])
-            if b > a:
-                if sk is None:
-                    sk = fl._new_sketch(op)
-                if op == Operation.APPROX_UNIQUE_COUNT:
-                    sk.update_hashes(hv[a:b])
-                elif op == Operation.APPROX_PERCENTILE:
-                    sk.update(fv[a:b])
-                else:
-                    sk.update(list(evv[vpos[a:b]]))
-            if sk is not None:
-                out[i] = _finalize_sketch(op, sk, k, nfp, pcts)
+                slider.advance(int(lo_eff[s0]), int(hi_t[s0]))
+            work = slider.window_agg()  # one fresh copy per segment
+            bprev = int(a[s0])
+            for i in range(s0, s1):
+                bi = int(b[i])
+                if bi > bprev:
+                    if work is None:
+                        work = fl._new_sketch(op)
+                    if op == Operation.APPROX_UNIQUE_COUNT:
+                        work.update_hashes(hv[bprev:bi])
+                    elif op == Operation.APPROX_PERCENTILE:
+                        work.update(fv[bprev:bi])
+                    else:
+                        work.update(list(evv[vpos[bprev:bi]]))
+                    bprev = bi
+                if work is not None:
+                    out[i] = _finalize_sketch(op, work, k, nfp, pcts)
         return out
 
     return serve

@@ -89,9 +89,14 @@ def ngram_jaccard_pairs(
     df = _fan_out(df, id_col)
     sh = distinct_shingles(df, id_col, text_col, n)
     if df_cap is not None:
-        n_docs = df.count()
+        # n_docs folded in as a lazy broadcast scalar (cross join of a
+        # 1-row aggregate) instead of a df.count() driver action: the whole
+        # operator stays ONE pipeline — no separate job just to size the
+        # hot-shingle threshold
+        n_docs = df.agg(F.count(F.lit(1)).alias("__nd"))
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-               .where(F.col("df") > n_docs * df_cap).select("shingle"))
+               .crossJoin(F.broadcast(n_docs))
+               .where(F.col("df") > F.col("__nd") * df_cap).select("shingle"))
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # sh feeds sizes + both self-join sides: persist so the shingle explode
     # is computed once, not three times (at scale: checkpoint instead)
@@ -336,13 +341,18 @@ def duplicate_groups(
         nbr = (edges.join(labels.select(F.col("id").alias("dst"),
                                         F.col("label").alias("dlabel")), "dst")
                .groupBy("src").agg(F.min("dlabel").alias("nmin")))
+        # carry a changed flag inside the label frame so convergence needs no
+        # second join: ONE Spark action per round (the count below both
+        # materializes the lazy checkpoint and tallies changed labels) —
+        # the old shape paid two actions per round (eager checkpoint + a
+        # re-join count), doubling per-round job-launch overhead
         new = (labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
                .select("id", F.least(F.col("label"),
-                                     F.coalesce("nmin", "label")).alias("label")))
-        new = new.localCheckpoint(eager=True)
-        changed = (new.alias("n").join(labels.alias("o"), "id")
-                   .where(F.col("n.label") != F.col("o.label")).count())
-        labels = new
+                                     F.coalesce("nmin", "label")).alias("label"),
+                       (F.col("nmin") < F.col("label")).alias("__chg")))
+        new = new.localCheckpoint(eager=False)
+        changed = new.where(F.col("__chg")).count()
+        labels = new.drop("__chg")
         if changed == 0:
             converged = True
             break

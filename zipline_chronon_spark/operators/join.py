@@ -132,6 +132,29 @@ def render_left(spark: SparkSession, src: EventSource) -> DataFrame:
     return df.select(*cols, ts_ms.alias(pit_join.TS_COL))
 
 
+def _with_skew_wheres(gb, skew_keys: tuple, mapping: dict[str, str]):
+    """Push skew exclusion to the right side too (maps left col -> right
+    key); returns gb unchanged when no skew key applies."""
+    import dataclasses
+
+    extra_wheres = []
+    for col, values in skew_keys:
+        rcol = mapping.get(col, col)
+        if rcol in gb.key_columns:
+            extra_wheres.append(skew_filter(rcol, values))
+    if not extra_wheres:
+        return gb
+    return dataclasses.replace(
+        gb,
+        sources=tuple(
+            dataclasses.replace(
+                s, query=dataclasses.replace(s.query, wheres=s.query.wheres + tuple(extra_wheres))
+            )
+            for s in gb.sources
+        ),
+    )
+
+
 def compute_part(
     spark: SparkSession,
     part,
@@ -147,26 +170,8 @@ def compute_part(
     [*right keys, '__day'] (join with attach_part). Shared by compute_join
     and the resumable JoinBackfill (plans/join_backfill.py) so the two
     paths cannot drift semantically."""
-    import dataclasses
-
-    gb = part.group_by
     mapping = part.left_to_right()
-    # push skew exclusion to the right side too (maps left col -> right key)
-    extra_wheres = []
-    for col, values in skew_keys:
-        rcol = mapping.get(col, col)
-        if rcol in gb.key_columns:
-            extra_wheres.append(skew_filter(rcol, values))
-    if extra_wheres:
-        gb = dataclasses.replace(
-            gb,
-            sources=tuple(
-                dataclasses.replace(
-                    s, query=dataclasses.replace(s.query, wheres=s.query.wheres + tuple(extra_wheres))
-                )
-                for s in gb.sources
-            ),
-        )
+    gb = _with_skew_wheres(part.group_by, skew_keys, mapping)
     if gb.accuracy == Accuracy.SNAPSHOT:
         # day-keyed snapshot cell: features anchored at end-of-day(d-1)
         if all(isinstance(s, EntitySource) for s in gb.sources):
@@ -227,12 +232,20 @@ def compute_join(
     # row id: user-specified rowIds (api.thrift:434-436) or a minted id.
     # monotonically_increasing_id is only stable within one plan execution,
     # so we persist the left to pin it (the reference instead materializes
-    # the left to a table — same idea, Spark-native).
+    # the left to a table — same idea, Spark-native). The pin is only
+    # NEEDED when the minted id crosses plan branches (a TEMPORAL part's
+    # feature frame joins back on it, or bootstrap covering reuses it); a
+    # SNAPSHOT-only join merges on (keys, day), so the id never leaves this
+    # one plan and the persist+count materialization pass is skipped.
     minted = not join.row_ids
+    id_crosses_branches = bool(join.bootstrap_parts) or any(
+        p.group_by.accuracy != Accuracy.SNAPSHOT for p in join.parts)
     if minted:
-        left = left.withColumn(ROW_ID, F.monotonically_increasing_id()).persist()
-        _PERSISTED.append(left)
-        left.count()  # materialize so every branch sees identical ids
+        left = left.withColumn(ROW_ID, F.monotonically_increasing_id())
+        if id_crosses_branches:
+            left = left.persist()
+            _PERSISTED.append(left)
+            left.count()  # materialize so every branch sees identical ids
     else:
         rid = F.xxhash64(*join.row_ids)
         left = left.withColumn(ROW_ID, rid)
@@ -254,33 +267,96 @@ def compute_join(
                        list(bp.key_columns), "left")
         bs_markers.append((marker, provided))
 
+    # ---- fuse adjacent TEMPORAL parts sharing one engine pass ------------
+    # N parts over the SAME sources/keys/tie rule each pay a full
+    # events∪queries shuffle plus a merge join; their aggregations can run
+    # in ONE PIT pass and attach with ONE join (guide §2.4: remove shuffles
+    # outright). Fusion is skipped whenever anything could observe the
+    # difference: SNAPSHOT parts (different join keys), GroupBy-level
+    # derivations (input space is the single GroupBy), bootstrap joins
+    # (covering-set feeds parts row-subsets), or output-name collisions
+    # between non-identical aggregations.
+    import dataclasses
+
+    def _fuse_sig(part):
+        gb = part.group_by
+        if gb.accuracy == Accuracy.SNAPSHOT or gb.derivations \
+                or join.bootstrap_parts:
+            return None
+        return (gb.sources, gb.key_columns, gb.tie_breaker_column,
+                tuple(sorted(part.left_to_right().items())))
+
+    runs: list[tuple] = []
     for part in join.parts:
-        # covering-set: a left row that matched a bootstrap table providing
-        # ALL of this part's output columns already has its values — feed
-        # only the uncovered rows to the part engine (correctness is
-        # unchanged; the win is skipped compute when coverage is high)
-        expected = {f"{part.full_prefix}_{ap.output_name}"
-                    for ap in part.group_by.parts()}
-        covering = [m for m, provided in bs_markers if expected <= provided]
-        part_left = left
-        if covering:
-            uncovered = F.lit(True)
-            for m in covering:
-                uncovered = uncovered & F.col(m).isNull()
-            part_left = (left.join(
-                out.select(ROW_ID, *covering), ROW_ID).where(uncovered)
-                .drop(*covering))
-        part_df, key_cols = compute_part(spark, part, part_left,
-                                         join.skew_keys, num_partitions)
+        sig = _fuse_sig(part)
+        if runs and sig is not None and runs[-1][0] == sig:
+            runs[-1][1].append(part)
+        else:
+            runs.append((sig, [part]))
+
+    def _fused_frame(parts_run) -> Optional[DataFrame]:
+        aggs: list = []
+        for p in parts_run:
+            for a in p.group_by.aggregations:
+                if a not in aggs:
+                    aggs.append(a)
+        base = parts_run[0]
+        fused_gb = dataclasses.replace(base.group_by, aggregations=tuple(aggs))
+        try:
+            fused_gb.parts()
+        except ValueError:
+            return None  # same output name from different aggregations
+        mapping = base.left_to_right()
+        feats = pit_join.compute_group_by(
+            spark, _with_skew_wheres(fused_gb, join.skew_keys, mapping), left,
+            row_id=ROW_ID, key_mapping=mapping,
+            query_time_col=pit_join.TS_COL, num_partitions=num_partitions)
+        sel = [F.col(ROW_ID)]
+        for p in parts_run:
+            for ap in p.group_by.parts():
+                sel.append(F.col(ap.output_name)
+                           .alias(f"{p.full_prefix}_{ap.output_name}"))
+        return feats.select(*sel)
+
+    def _attach_coalesced(out, part_df, key_cols, mapping):
         # coalescedJoin: on collision prefer the already-present (bootstrap)
         # value, else the freshly computed one (JoinUtils.scala:159-190)
         collisions = [c for c in part_df.columns
                       if c not in key_cols and c in out.columns]
         for c in collisions:
             part_df = part_df.withColumnRenamed(c, f"__fresh_{c}")
-        out = attach_part(out, part_df, key_cols, part.left_to_right())
+        out = attach_part(out, part_df, key_cols, mapping)
         for c in collisions:
             out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__fresh_{c}"))).drop(f"__fresh_{c}")
+        return out
+
+    for sig, parts_run in runs:
+        fused = _fused_frame(parts_run) if len(parts_run) > 1 else None
+        if fused is not None:
+            out = _attach_coalesced(out, fused, [ROW_ID],
+                                    parts_run[0].left_to_right())
+            continue
+        for part in parts_run:
+            # covering-set: a left row that matched a bootstrap table
+            # providing ALL of this part's output columns already has its
+            # values — feed only the uncovered rows to the part engine
+            # (correctness is unchanged; the win is skipped compute when
+            # coverage is high)
+            expected = {f"{part.full_prefix}_{ap.output_name}"
+                        for ap in part.group_by.parts()}
+            covering = [m for m, provided in bs_markers if expected <= provided]
+            part_left = left
+            if covering:
+                uncovered = F.lit(True)
+                for m in covering:
+                    uncovered = uncovered & F.col(m).isNull()
+                part_left = (left.join(
+                    out.select(ROW_ID, *covering), ROW_ID).where(uncovered)
+                    .drop(*covering))
+            part_df, key_cols = compute_part(spark, part, part_left,
+                                             join.skew_keys, num_partitions)
+            out = _attach_coalesced(out, part_df, key_cols,
+                                    part.left_to_right())
 
     out = out.drop(*[m for m, _ in bs_markers])
     if join.derivations:
