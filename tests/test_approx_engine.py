@@ -174,7 +174,7 @@ def test_old_history_collapses_to_one_row_per_key(spark, events):
         "ts_ms": BASE + 2 * 86_400_000 - rng.integers(0, 3_600_000, size=40),
         "__row_id": np.arange(40, dtype=np.int64),
     }).astype({"ts_ms": "int64"}))
-    union, _, _ = _build_frames(spark, gb, q, row_id="__row_id",
+    union, _, _, _ = _build_frames(spark, gb, q, row_id="__row_id",
                                 query_time_col="ts_ms")
     per_key = (union.where("__kind = 2").groupBy("k").count()
                .agg({"count": "max"}).collect()[0][0])

@@ -68,6 +68,7 @@ from zipline_chronon_spark.operators.sketches import hash64
 
 ROW_ID = pit_join.ROW_ID
 TS_COL = pit_join.TS_COL
+_SHIFT = pit_join._SHIFT  # (key_idx << 44) + (t - base) group-encoded time
 
 # union row kinds, in within-key sort order
 K_TILE, K_EVENT, K_COLLAPSED, K_QUERY = 0, 1, 2, 3
@@ -86,19 +87,66 @@ def _split_point(gb: GroupBy, t_min: int) -> int:
     return (t_min // hop) * hop  # unbounded-only: collapse below min head
 
 
+def _ir_plan(gb: GroupBy):
+    """Deduplicate tile-IR columns by CONTENT: every windowed variant of an
+    aggregation reads the same per-(key, tile) state — SUM_1d / SUM / AVG
+    share one (sum, count) pair, both APPROX_UNIQUE_COUNT windows share one
+    HLL blob, and sketch args (k, percentiles) only matter at finalize.
+    Building the tile frame from one representative part per content class
+    halves its width for typical multi-window GroupBys: fewer aggregate
+    expressions, fewer sketch builds, and fewer bytes through the shuffle
+    and the Arrow boundary. Returns (gb_ir, ir_map) where gb_ir generates
+    exactly one part per class and ir_map maps each original part's
+    output_name to its representative's."""
+    import dataclasses
+
+    from zipline_chronon_spark.api import Aggregation, AggregationPart
+
+    parts = fl._parts(gb)
+    has_sumcnt = {p.input_column for p in parts
+                  if p.operation in (Operation.SUM, Operation.AVERAGE)}
+    classes: dict = {}
+    ir_map: dict[str, str] = {}
+    reduced: list = []
+    for p in parts:
+        op = p.operation
+        if op in (Operation.SUM, Operation.AVERAGE) or (
+                op == Operation.COUNT and p.input_column in has_sumcnt):
+            ck = ("sumcnt", p.input_column)
+            rep_op, rep_args = Operation.AVERAGE, ()
+        elif op == Operation.COUNT:
+            ck = ("cnt", p.input_column)
+            rep_op, rep_args = Operation.COUNT, ()
+        elif op in fl.SKETCH_OPS:
+            ck = (fl._sketch_cls(op).__name__, p.input_column)
+            rep_op, rep_args = op, ()
+        else:  # MIN / MAX / FIRST / LAST
+            ck = (op.name, p.input_column)
+            rep_op, rep_args = op, ()
+        if ck not in classes:
+            rep = AggregationPart(p.input_column, rep_op, rep_args, None, None)
+            classes[ck] = rep.output_name
+            reduced.append(Aggregation(p.input_column, rep_op, rep_args,
+                                       windows=(None,)))
+        ir_map[p.output_name] = classes[ck]
+    gb_ir = dataclasses.replace(gb, aggregations=tuple(reduced))
+    return gb_ir, ir_map
+
+
 def _build_frames(
     spark: SparkSession,
     gb: GroupBy,
     queries: DataFrame,
     row_id: str = ROW_ID,
     query_time_col: str = "ts",
-) -> tuple[DataFrame, DataFrame, list[str]]:
+) -> tuple[DataFrame, DataFrame, list[str], dict]:
     """The serving input frame, keyed by the GroupBy keys (NO per-query
     fan-out): each (key, tile) IR appears ONCE (kind=0), each queried head
     event once (kind=1), at most one collapsed row per key (kind=2), and
     one row per query (kind=3). Split out so tests can assert the shuffle
-    shape directly. Returns (union, events_frame, ir_cols)."""
+    shape directly. Returns (union, events_frame, ir_cols, ir_map)."""
     parts = fl._parts(gb)
+    gb_ir, ir_map = _ir_plan(gb)
     keys = list(gb.key_columns)
     hop = fl._tile_hop(gb) or 86_400_000  # unbounded-only: any fixed tiling
 
@@ -126,7 +174,7 @@ def _build_frames(
 
     # per-(key, tile) mergeable IRs over [split, t_max] — ONE pass, then
     # pruned to queried keys (mirrors the exact engine's semi-join prefilter)
-    tiles = fl._ir_rows(recent, gb, tile_hop=hop).join(qkeys, keys, "leftsemi")
+    tiles = fl._ir_rows(recent, gb_ir, tile_hop=hop).join(qkeys, keys, "leftsemi")
     ir_cols = [c for c in tiles.columns if c not in keys + ["__tile"]]
 
     def _nulls(df_schema, cols, prefix=""):
@@ -165,13 +213,13 @@ def _build_frames(
     # every key contributes at most ONE such row TOTAL — not per query
     if has_unbounded:
         old = ev.where(F.col(TS_COL) < split)
-        collapsed = fl._ir_rows(old, gb).join(qkeys, keys, "leftsemi")
+        collapsed = fl._ir_rows(old, gb_ir).join(qkeys, keys, "leftsemi")
         c_u = collapsed.select(
             *keys, F.lit(K_COLLAPSED).alias("__kind"), zero_l.alias("__t"),
             neg1_l.alias(ROW_ID), *ir_cols, *_nulls(ev.schema, inputs, "__e_"))
         union = union.unionByName(c_u)
 
-    return union, ev, ir_cols
+    return union, ev, ir_cols, ir_map
 
 
 # ---------------------------------------------------------------------------
@@ -324,25 +372,57 @@ def _finalize_sketch(op: Operation, sk, k: int, nfp: bool, pcts):
     return sk.quantiles(pcts)
 
 
+def _sorted_quantiles(sv: np.ndarray, qs: list[float]) -> list[float]:
+    """np.quantile(vals, qs) with method='linear' over an ALREADY-SORTED
+    array, computed directly (replicates numpy's _lerp: t >= 0.5 evaluates
+    b - diff*(1-t) for the same rounding) — KllSketch.quantiles calls
+    np.quantile in the exact regime, whose ~70us of ufunc machinery per
+    call dominated the per-query serve cost; this is the bit-identical
+    O(len(qs)) version for a buffer kept sorted incrementally."""
+    m = len(sv)
+    if m == 0:
+        return [float("nan") for _ in qs]
+    out = []
+    for q in qs:
+        vi = q * (m - 1)
+        j = int(vi)
+        t = vi - j
+        va = sv[j]
+        vb = sv[j + 1] if j + 1 < m else sv[m - 1]
+        diff = vb - va
+        r = va + t * diff
+        if t >= 0.5:
+            r = vb - diff * (1 - t)
+        out.append(float(r))
+    return out
+
+
 # group-boundary mask shared with the tile builder (fetcher._group_starts):
 # factorize-based, so None/NaN/pd.NA key rows are isolated — null keys match
 # nothing, and such query rows correctly get null features
 _group_starts = fl._group_starts
 
 
-def _make_group_server(parts, inputs, out_fields, keys):
-    """serve(pdf) for one sorted batch of whole key groups: splits each key
-    into (tiles | events | collapsed | queries) slices and answers the
-    key's queries with the range kernels above."""
+def _make_group_server(parts, inputs, out_fields, keys, ir_map=None):
+    """serve(pdf) for one sorted batch of whole key groups.
 
-    def _num(pdf, col):
-        return pd.to_numeric(pdf[col], errors="coerce").to_numpy(
-            dtype=np.float64, copy=False)
+    Round-6 shape: additive / extreme / first-last parts are answered for
+    EVERY query of EVERY key in the batch AT ONCE — tiles, head events and
+    queries are flattened into per-kind arrays, window bounds come from one
+    group-encoded ``searchsorted`` per endpoint (the exact engine's
+    pit_join idiom: enc = (key_idx << 44) + (t - base), so ranges can never
+    cross a key boundary), and prefix sums / sparse-table RMQs /
+    prev-next-valid gathers run over the whole batch. The old serve looped
+    over keys in Python, paying ~10 numpy/pandas calls per (key, part) on
+    groups of ~tens of rows; batch-wide it is ~10 calls per (batch, part).
+    Only sketch parts keep a per-key loop (two-stack sliders are stateful
+    per key); that loop indexes precomputed numpy arrays — no per-key
+    pandas slicing anywhere."""
 
-    def _obj(pdf, col):
-        return pdf[col].to_numpy(dtype=object)
-
-    keyed = [(p, p.output_name, p.operation, p.input_column) for p in parts]
+    # each part reads its CONTENT-representative's IR columns (see _ir_plan)
+    ir_map = ir_map or {}
+    keyed = [(p, p.output_name, ir_map.get(p.output_name, p.output_name),
+              p.operation, p.input_column) for p in parts]
     hop = None
     for p in parts:
         if p.window is not None:
@@ -352,343 +432,414 @@ def _make_group_server(parts, inputs, out_fields, keys):
 
     def serve(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
+        empty = pd.DataFrame({c: [] for c in [ROW_ID, *out_fields]},
+                             columns=[ROW_ID, *out_fields])
+        if n == 0:
+            return empty
         kind = pdf["__kind"].to_numpy()
         t_all = pdf["__t"].to_numpy(dtype=np.int64)
-        rid_all = pdf[ROW_ID].to_numpy(dtype=np.int64)
-        starts = np.flatnonzero(_group_starts(pdf[keys]))
+        flags = _group_starts(pdf[keys])
+        gid = np.cumsum(flags) - 1  # 0-based key index per row
+        G = int(gid[-1]) + 1
+        starts = np.flatnonzero(flags)
         ends = np.r_[starts[1:], n]
+        # per-key kind boundaries via one searchsorted over (gid, kind)
+        ek = gid * 4 + kind
+        kb = np.arange(G, dtype=np.int64) * 4
+        b1 = np.searchsorted(ek, kb + K_EVENT)    # tile end / event start
+        b2 = np.searchsorted(ek, kb + K_COLLAPSED)
+        b3 = np.searchsorted(ek, kb + K_QUERY)
 
-        # batch-level column caches (lazy, one C-level conversion each)
+        tile_pos = np.flatnonzero(kind == K_TILE)
+        ev_pos = np.flatnonzero(kind == K_EVENT)
+        q_pos = np.flatnonzero(kind == K_QUERY)
+        nq = len(q_pos)
+        if nq == 0:
+            return empty
+        g_q = gid[q_pos]
+        T = t_all[q_pos]
+        ncoll = kind != K_COLLAPSED  # collapsed rows carry __t = 0
+        base = int(t_all[ncoll].min()) if ncoll.any() else 0
+        enc_tile = (gid[tile_pos] << _SHIFT) + (t_all[tile_pos] - base)
+        enc_ev = (gid[ev_pos] << _SHIFT) + (t_all[ev_pos] - base)
+        gq_enc = g_q << _SHIFT
+        q_enc = gq_enc + (T - base)
+
+        head = (T // hop) * hop
+        hi_t_head = np.searchsorted(enc_tile, gq_enc + np.maximum(head - base, 0))
+        e_hi = np.searchsorted(enc_ev, q_enc, side="right")
+        e_lo_head = np.minimum(np.searchsorted(
+            enc_ev, gq_enc + np.maximum(head - base, 0)), e_hi)
+        lo_t_unb = None  # lazy: searchsorted once if any unbounded part
+        # collapsed row index per key (-1 when absent), gathered per query
+        ci_k = np.where(b2 < b3, b2, -1)
+        ci_q = ci_k[g_q]
+
+        # batch-level column caches (one C-level conversion each)
         num_cache: dict = {}
         obj_cache: dict = {}
-        numf_cache: dict = {}
+        ev_pref_cache: dict = {}
+        ev_cnt_cache: dict = {}
 
         def num(col):
             if col not in num_cache:
-                num_cache[col] = _num(pdf, col)
+                num_cache[col] = pd.to_numeric(pdf[col], errors="coerce")\
+                    .to_numpy(dtype=np.float64, copy=False)
             return num_cache[col]
 
         def obj(col):
             if col not in obj_cache:
-                obj_cache[col] = _obj(pdf, col)
+                obj_cache[col] = pdf[col].to_numpy(dtype=object)
             return obj_cache[col]
 
-        def numf(col):
-            """(values, valid) for NATIVELY numeric columns, else None —
-            the dtype check keeps string/object columns on the exact
-            object-comparison path (pd.to_numeric would silently coerce
-            numeric-looking strings and change MIN/MAX ordering)."""
-            if col not in numf_cache:
-                ser = pdf[col]
-                if pd.api.types.is_integer_dtype(ser):
-                    v = ser.to_numpy(dtype=np.int64)
-                    numf_cache[col] = (v, np.ones(len(v), dtype=bool))
-                elif pd.api.types.is_float_dtype(ser):
-                    v = ser.to_numpy(dtype=np.float64)
-                    numf_cache[col] = (v, ~np.isnan(v))
-                else:
-                    numf_cache[col] = None
-            return numf_cache[col]
+        def ev_prefix(col):
+            """(value prefix, non-nan count prefix) over the event rows."""
+            if col not in ev_pref_cache:
+                ev_pref_cache[col] = _prefix(num(f"__e_{col}")[ev_pos])
+            return ev_pref_cache[col]
 
-        out_rid: list = []
-        out_cols: dict = {nm: [] for _, nm, _, _ in keyed}
+        def ev_count_prefix(col):
+            """Non-null count prefix on the RAW objects (COUNT works on any
+            dtype)."""
+            if col not in ev_cnt_cache:
+                eok = ~pd.isna(obj(f"__e_{col}")[ev_pos])
+                c = np.zeros(len(eok) + 1, dtype=np.int64)
+                np.cumsum(eok, out=c[1:])
+                ev_cnt_cache[col] = c
+            return ev_cnt_cache[col]
 
-        for s, e in zip(starts, ends):
-            ks = kind[s:e]
-            b1 = s + np.searchsorted(ks, K_EVENT)
-            b2 = s + np.searchsorted(ks, K_COLLAPSED)
-            b3 = s + np.searchsorted(ks, K_QUERY)
-            if b3 == e:
-                continue  # no queries in this key (shouldn't happen)
-            T = t_all[b3:e]
-            nq = e - b3
-            out_rid.append(rid_all[b3:e])
+        def collapsed_add(ci, full_col):
+            """(mask, values) of valid collapsed contributions per query."""
+            cm = ci >= 0
+            cv = full_col[np.maximum(ci, 0)]
+            cm = cm & ~np.isnan(cv)
+            return cm, cv
 
-            tile_ts = t_all[s:b1]
-            e_ts = t_all[b1:b2]
-            col_i = b2 if b2 < b3 else -1  # index of the collapsed row
+        def _serve_additive(nm, op, col, ci, lo_t, hi_t, e_lo, e_hi):
+            csum = chave = ccnt = None
+            if op in (Operation.SUM, Operation.AVERAGE):
+                ts_, tc_ = _prefix(num(f"{nm}__sum")[tile_pos])
+                es_, ec_ = ev_prefix(col)
+                tot = (ts_[hi_t] - ts_[lo_t]) + (es_[e_hi] - es_[e_lo])
+                have = (tc_[hi_t] - tc_[lo_t]) + (ec_[e_hi] - ec_[e_lo])
+                if ci is not None:
+                    cm, cv = collapsed_add(ci, num(f"{nm}__sum"))
+                    tot[cm] += cv[cm]
+                    have = have + cm
+                csum, chave = tot, have
+            if op in (Operation.COUNT, Operation.AVERAGE):
+                tcv = num(f"{nm}__count")[tile_pos]
+                tp = np.zeros(len(tcv) + 1)
+                np.cumsum(np.where(np.isnan(tcv), 0.0, tcv), out=tp[1:])
+                ec2 = (ev_count_prefix(col) if op == Operation.COUNT
+                       else ev_prefix(col)[1])
+                cnt = (tp[hi_t] - tp[lo_t]) + (ec2[e_hi] - ec2[e_lo])
+                if ci is not None:
+                    cm, cv = collapsed_add(ci, num(f"{nm}__count"))
+                    cnt[cm] += cv[cm]
+                ccnt = cnt
+            out = np.full(nq, None, dtype=object)
+            if op == Operation.SUM:
+                m = chave > 0
+                out[m] = csum[m]
+            elif op == Operation.COUNT:
+                m = ccnt > 0
+                out[m] = ccnt[m].astype(np.int64)
+            else:  # AVERAGE
+                m = ccnt > 0
+                out[m] = csum[m] / ccnt[m]
+            return out
 
-            head = (T // hop) * hop
-            hi_t_head = np.searchsorted(tile_ts, head)
-            e_hi = np.searchsorted(e_ts, T, side="right")
-            e_lo_head = np.searchsorted(e_ts, head)
-
-            for p, nm, op, col in keyed:
-                if p.window is None:
-                    lo_t = None
-                    hi_t = hi_t_head
-                    e_lo = e_lo_head
-                else:
-                    w, th = p.window.millis, p.window.tail_hop_millis()
-                    tail = ((T - w) // th) * th
-                    lo_t = np.searchsorted(tile_ts, tail)
-                    hi_t = np.maximum(hi_t_head, lo_t)
-                    e_lo = np.minimum(
-                        np.searchsorted(e_ts, np.maximum(tail, head)), e_hi)
-
-                # collapsed (below-split) state feeds ONLY unbounded parts
-                # (merge_state rule: windowed tails are above the split)
-                ci = col_i if p.window is None else -1
-                if op in fl.SKETCH_OPS:
-                    out_cols[nm].append(_serve_sketch(
-                        p, nm, op, col, s, b1, b2, ci, lo_t, hi_t,
-                        e_lo, e_hi, nq, obj, pdf))
-                elif op in (Operation.SUM, Operation.AVERAGE, Operation.COUNT):
-                    out_cols[nm].append(_serve_additive(
-                        nm, op, col, s, b1, b2, ci, lo_t, hi_t,
-                        e_lo, e_hi, nq, num, obj))
-                elif op in (Operation.MIN, Operation.MAX):
-                    out_cols[nm].append(_serve_extreme(
-                        nm, op, col, s, b1, b2, ci, lo_t, hi_t,
-                        e_lo, e_hi, nq, obj, numf))
-                else:  # FIRST / LAST
-                    out_cols[nm].append(_serve_first_last(
-                        nm, op, col, s, b1, b2, ci, lo_t, hi_t,
-                        e_lo, e_hi, nq, num, obj, p.window is None))
-
-        if not out_rid:
-            return pd.DataFrame({c: [] for c in [ROW_ID, *out_fields]},
-                                columns=[ROW_ID, *out_fields])
-        data = {ROW_ID: np.concatenate(out_rid)}
-        for nm in out_cols:
-            data[nm] = np.concatenate(out_cols[nm])
-        return pd.DataFrame({c: data[c] for c in [ROW_ID, *out_fields]},
-                            columns=[ROW_ID, *out_fields])
-
-    def _rng(lo_t, nq):
-        return np.zeros(nq, dtype=np.int64) if lo_t is None else lo_t
-
-    def _serve_additive(nm, op, col, s, b1, b2, col_i, lo_t, hi_t,
-                        e_lo, e_hi, nq, num, obj):
-        lo_t = _rng(lo_t, nq)
-        csum = ccnt = None
-        if op in (Operation.SUM, Operation.AVERAGE):
-            ts_, tc_ = _prefix(num(f"{nm}__sum")[s:b1])
-            es_, ec_ = _prefix(num(f"__e_{col}")[b1:b2])
-            tot = (ts_[hi_t] - ts_[lo_t]) + (es_[e_hi] - es_[e_lo])
-            have = (tc_[hi_t] - tc_[lo_t]) + (ec_[e_hi] - ec_[e_lo])
-            if col_i >= 0:
-                cs = num(f"{nm}__sum")[col_i]
-                if not np.isnan(cs):
-                    tot = tot + cs
-                    have = have + 1
-            csum, chave = tot, have
-        if op in (Operation.COUNT, Operation.AVERAGE):
-            tcv = num(f"{nm}__count")[s:b1]
-            tp = np.empty(b1 - s + 1)
-            tp[0] = 0.0
-            np.cumsum(np.where(np.isnan(tcv), 0.0, tcv), out=tp[1:])
-            if op == Operation.COUNT:
-                # null-test on the raw objects: COUNT works on any dtype
-                eok = ~pd.isna(obj(f"__e_{col}")[b1:b2])
-                ec_ = np.empty(b2 - b1 + 1, dtype=np.int64)
-                ec_[0] = 0
-                np.cumsum(eok, out=ec_[1:])
-            else:
-                _, ec_ = _prefix(num(f"__e_{col}")[b1:b2])
-            cnt = (tp[hi_t] - tp[lo_t]) + (ec_[e_hi] - ec_[e_lo])
-            if col_i >= 0:
-                cc = num(f"{nm}__count")[col_i]
-                if not np.isnan(cc):
-                    cnt = cnt + cc
-            ccnt = cnt
-        out = np.full(nq, None, dtype=object)
-        if op == Operation.SUM:
-            m = chave > 0
-            out[m] = csum[m]
-        elif op == Operation.COUNT:
-            m = ccnt > 0
-            out[m] = ccnt[m].astype(np.int64)
-        else:  # AVERAGE
-            m = ccnt > 0
-            out[m] = csum[m] / ccnt[m]
-        return out
-
-    def _serve_extreme(nm, op, col, s, b1, b2, col_i, lo_t, hi_t,
-                       e_lo, e_hi, nq, obj, numf):
-        lo_t = _rng(lo_t, nq)
-        suffix = "min" if op == Operation.MIN else "max"
-        is_min = op == Operation.MIN
-        t_nf = numf(f"{nm}__{suffix}")
-        e_nf = numf(f"__e_{col}")
-        if t_nf is not None and e_nf is not None:
-            # numeric fast path: O(n log n) sparse-table build + O(1) range
-            # min/max per query (kernels._SparseTable, the exact engine's
-            # RMQ) replaces the per-query deque loop. Invalid positions are
-            # filled with the op identity so they can never win a range;
-            # emptiness is decided by separate validity prefix counts.
-            tvv, tok = t_nf[0][s:b1], t_nf[1][s:b1]
-            evv_, eok = e_nf[0][b1:b2], e_nf[1][b1:b2]
-            is_int = tvv.dtype == np.int64 and evv_.dtype == np.int64
-            if is_int:
-                fill = np.iinfo(np.int64).max if is_min else np.iinfo(np.int64).min
-            else:
-                tvv, evv_ = tvv.astype(np.float64), evv_.astype(np.float64)
-                fill = np.inf if is_min else -np.inf
+        def _serve_extreme(nm, op, col, ci, lo_t, hi_t, e_lo, e_hi):
+            is_min = op == Operation.MIN
+            suffix = "min" if is_min else "max"
             npop = np.minimum if is_min else np.maximum
-            dt = tvv.dtype
+            t_ser = pdf[f"{nm}__{suffix}"]
+            e_ser = pdf[f"__e_{col}"]
+            if (pd.api.types.is_float_dtype(t_ser)
+                    and pd.api.types.is_float_dtype(e_ser)):
+                # native float: range-RMQ directly on the values
+                tfull, efull = num(f"{nm}__{suffix}"), num(f"__e_{col}")
+                decode = None
+            else:
+                # exact any-dtype path (ints stay exact past 2**53, strings
+                # compare lexicographically): factorize both columns into
+                # ONE sorted code space, RMQ over float codes, decode at
+                # the end — no per-row Python comparisons
+                comb = pd.concat([t_ser, e_ser], ignore_index=True)
+                codes, uniq = pd.factorize(comb, sort=True)
+                fcodes = codes.astype(np.float64)
+                fcodes[codes < 0] = np.nan
+                tfull, efull = fcodes[:n], fcodes[n:]
+                decode = np.asarray(uniq, dtype=object)
+            tvals = tfull[tile_pos]
+            evals = efull[ev_pos]
+            fill = np.inf if is_min else -np.inf
 
-            def range_ext(vals, ok, lo, hi):
-                res = np.full(nq, fill, dtype=dt)
+            def rng(vals, lo, hi):
+                res = np.full(nq, fill)
                 has = np.zeros(nq, dtype=bool)
                 if len(vals):
-                    v = np.where(ok, vals, fill)
-                    st = kernels._SparseTable(v, npop)
+                    ok = ~np.isnan(vals)
+                    st = kernels._SparseTable(np.where(ok, vals, fill), npop)
                     r = st.query(lo, hi)
                     m = hi > lo
                     res[m] = r[m]
-                    cnt = np.zeros(len(ok) + 1, dtype=np.int64)
-                    np.cumsum(ok, out=cnt[1:])
-                    has = (cnt[hi] - cnt[lo]) > 0
+                    c = np.zeros(len(ok) + 1, dtype=np.int64)
+                    np.cumsum(ok, out=c[1:])
+                    has = (c[hi] - c[lo]) > 0
                 return res, has
 
-            rt, has_t = range_ext(tvv, tok, lo_t, hi_t)
-            re_, has_e = range_ext(evv_, eok, e_lo, e_hi)
+            rt, ht = rng(tvals, lo_t, hi_t)
+            re_, he = rng(evals, e_lo, e_hi)
             res = npop(rt, re_)
-            ok = has_t | has_e
-            if col_i >= 0:
-                c = t_nf[0][col_i]
-                if t_nf[1][col_i]:
-                    res = npop(res, c)
-                    ok |= True
+            ok = ht | he
+            if ci is not None:
+                cm, cv = collapsed_add(ci, tfull)
+                res[cm] = npop(res[cm], cv[cm])
+                ok = ok | cm
             out = np.full(nq, None, dtype=object)
-            out[ok] = res[ok]
-            return out
-        # object/string path: amortized deque sweep (orderable any-dtype)
-        tv = obj(f"{nm}__{suffix}")[s:b1]
-        evv = obj(f"__e_{col}")[b1:b2]
-        t_ext = _SlideExtreme(tv, ~pd.isna(tv), is_min)
-        e_ext = _SlideExtreme(evv, ~pd.isna(evv), is_min)
-        cv = None
-        if col_i >= 0:
-            c = obj(f"{nm}__{suffix}")[col_i]
-            cv = None if pd.isna(c) else c
-        out = np.full(nq, None, dtype=object)
-        pick = min if is_min else max
-        for i in range(nq):
-            cands = [v for v in (t_ext.query(lo_t[i], hi_t[i]),
-                                 e_ext.query(e_lo[i], e_hi[i]), cv)
-                     if v is not None]
-            if cands:
-                out[i] = pick(cands)
-        return out
-
-    def _serve_first_last(nm, op, col, s, b1, b2, col_i, lo_t, hi_t,
-                          e_lo, e_hi, nq, num, obj, unbounded):
-        lo_t = _rng(lo_t, nq)
-        t_ts = num(f"{nm}__ts")[s:b1]
-        t_v = obj(f"{nm}__v")[s:b1]
-        evv = obj(f"__e_{col}")[b1:b2]
-        cv = None
-        if col_i >= 0 and unbounded:
-            cts = num(f"{nm}__ts")[col_i]
-            if not np.isnan(cts):
-                cv = obj(f"{nm}__v")[col_i]
-        out = np.full(nq, None, dtype=object)
-        t_valid = ~np.isnan(t_ts)
-        e_valid = ~pd.isna(evv)
-        nt, ne = b1 - s, b2 - b1
-        if op == Operation.FIRST:
-            # tiles are strictly older than head events, collapsed older still
-            if cv is not None:
-                out[:] = cv  # collapsed (oldest non-null) wins everywhere
+            if decode is None:
+                out[ok] = res[ok]
             else:
-                nxt_t = np.r_[_next_valid(t_valid), nt]
+                out[ok] = decode[res[ok].astype(np.int64)]
+            return out
+
+        def _serve_first_last(nm, op, col, ci, lo_t, hi_t, e_lo, e_hi):
+            t_ts = num(f"{nm}__ts")[tile_pos]
+            t_v = obj(f"{nm}__v")[tile_pos]
+            evv = obj(f"__e_{col}")[ev_pos]
+            t_valid = ~np.isnan(t_ts)
+            e_valid = ~pd.isna(evv)
+            nt, ne = len(t_ts), len(evv)
+            out = np.full(nq, None, dtype=object)
+            cv_mask = None
+            if ci is not None:
+                cv_mask, _ = collapsed_add(ci, num(f"{nm}__ts"))
+                cv_vals = obj(f"{nm}__v")[np.maximum(ci, 0)]
+            if op == Operation.FIRST:
+                # tiles are strictly older than head events, collapsed older
+                # still — so events first, tiles override, collapsed wins
                 nxt_e = np.r_[_next_valid(e_valid), ne]
-                ti = nxt_t[lo_t]
-                tm = ti < hi_t
                 ei = nxt_e[e_lo]
                 em = ei < e_hi
                 out[em] = evv[ei[em]]
-                out[tm] = t_v[ti[tm]]  # tiles (older) override events
-        else:  # LAST: head events newest, then tiles, then collapsed —
-            # vectorized gathers (prev-valid index per range end), assigned
-            # lowest-precedence first so later masks override
-            if cv is not None:
-                out[:] = cv
-            if nt:
-                prv_t = _prev_valid(t_valid)
-                jt = prv_t[np.maximum(hi_t, 1) - 1]
-                tm = (hi_t > lo_t) & (jt >= lo_t)
-                out[tm] = t_v[jt[tm]]
-            if ne:
-                prv_e = _prev_valid(e_valid)
-                je = prv_e[np.maximum(e_hi, 1) - 1]
-                em = (e_hi > e_lo) & (je >= e_lo)
-                out[em] = evv[je[em]]
-        return out
+                nxt_t = np.r_[_next_valid(t_valid), nt]
+                ti = nxt_t[lo_t]
+                tm = ti < hi_t
+                out[tm] = t_v[ti[tm]]
+                if cv_mask is not None:
+                    out[cv_mask] = cv_vals[cv_mask]
+            else:  # LAST: head events newest, then tiles, then collapsed
+                if cv_mask is not None:
+                    out[cv_mask] = cv_vals[cv_mask]
+                if nt:
+                    prv_t = _prev_valid(t_valid)
+                    jt = prv_t[np.maximum(hi_t, 1) - 1]
+                    tm = (hi_t > lo_t) & (jt >= lo_t)
+                    out[tm] = t_v[jt[tm]]
+                if ne:
+                    prv_e = _prev_valid(e_valid)
+                    je = prv_e[np.maximum(e_hi, 1) - 1]
+                    em = (e_hi > e_lo) & (je >= e_lo)
+                    out[em] = evv[je[em]]
+            return out
 
-    def _serve_sketch(p, nm, op, col, s, b1, b2, col_i, lo_t, hi_t,
-                      e_lo, e_hi, nq, obj, pdf):
-        blobs = obj(f"{nm}__sk")[s:b1]
-        cls = fl._sketch_cls(op)
-        items = [None if pd.isna(b) else cls.from_bytes(bytes(b))
-                 for b in blobs]
-        seed = None
-        if col_i >= 0 and p.window is None:
-            cb = obj(f"{nm}__sk")[col_i]
-            if not pd.isna(cb):
-                seed = cls.from_bytes(bytes(cb))
-        if p.window is None:
-            slider = _PrefixSketch(items, seed)
-        else:
-            slider = _SwagSketch(items)
+        def _serve_sketch(p, nm, op, col, lo_t, hi_t, e_lo, e_hi):
+            sk_all = obj(f"{nm}__sk")
+            blobs_t = sk_all[tile_pos]
+            cls = fl._sketch_cls(op)
+            evv = obj(f"__e_{col}")[ev_pos]
+            e_valid = ~pd.isna(evv)
+            k = p.k or 1
+            nfp = op == Operation.APPROX_HEAVY_HITTERS_K
+            pcts = None
+            hv_all = fv_all = None
+            vp = np.flatnonzero(e_valid)
+            if op == Operation.APPROX_UNIQUE_COUNT:
+                hv_all = np.zeros(len(evv), dtype=np.uint64)
+                if len(vp):
+                    hv_all[vp] = hash64(evv[vp])
+            elif op == Operation.APPROX_PERCENTILE:
+                pcts = [float(x) for x in
+                        p.args.get("percentiles", "[0.5]").strip("[] ").split(",")]
+                fv_all = np.full(len(evv), np.nan)
+                if len(vp):
+                    fv_all[vp] = pd.to_numeric(
+                        pd.Series(evv[vp]), errors="coerce").to_numpy(
+                        dtype=np.float64)
+            # per-key offsets into the flattened tile/event/query arrays
+            t_ofs = np.zeros(G + 1, dtype=np.int64)
+            np.cumsum(b1 - starts, out=t_ofs[1:])
+            e_ofs = np.zeros(G + 1, dtype=np.int64)
+            np.cumsum(b2 - b1, out=e_ofs[1:])
+            q_ofs = np.zeros(G + 1, dtype=np.int64)
+            np.cumsum(ends - b3, out=q_ofs[1:])
 
-        evv = obj(f"__e_{col}")[b1:b2]
-        e_valid = ~pd.isna(evv)
-        vpos = np.flatnonzero(e_valid)
-        if op == Operation.APPROX_UNIQUE_COUNT:
-            hv = hash64(evv[vpos]) if len(vpos) else np.empty(0, np.uint64)
-        elif op == Operation.APPROX_PERCENTILE:
-            fv = pd.to_numeric(pd.Series(evv[vpos]), errors="coerce").to_numpy(
-                dtype=np.float64) if len(vpos) else np.empty(0)
-        k = p.k or 1
-        nfp = op == Operation.APPROX_HEAVY_HITTERS_K
-        pcts = None
-        if op == Operation.APPROX_PERCENTILE:
-            pcts = [float(x) for x in
-                    p.args.get("percentiles", "[0.5]").strip("[] ").split(",")]
-
-        a = np.searchsorted(vpos, e_lo)
-        b = np.searchsorted(vpos, e_hi)
-        lo_eff = _rng(lo_t if p.window is not None else None, nq)
-        # batched segment sweep (round-5 verdict item #2): queries sharing
-        # (tile window, head-slice start) — constant within one hop — are
-        # served from ONE window_agg copy; head events append incrementally
-        # (b is monotone) and finalize is read-only, so per-query cost drops
-        # from copy+merge+update to update-delta+finalize. Result content is
-        # identical: within a segment a[i] is constant, so the cumulative
-        # updates [a, b_i) equal the old per-query fresh-copy updates.
-        seg_start = np.zeros(nq, dtype=bool)
-        if nq:
-            seg_start[0] = True
-            seg_start[1:] = ((lo_eff[1:] != lo_eff[:-1])
-                             | (hi_t[1:] != hi_t[:-1]) | (a[1:] != a[:-1]))
-        starts = np.flatnonzero(seg_start)
-        ends = np.r_[starts[1:], nq]
-        out = np.full(nq, None, dtype=object)
-        for s0, s1 in zip(starts, ends):
-            if p.window is None:
-                slider.advance(int(hi_t[s0]))
-            else:
-                slider.advance(int(lo_eff[s0]), int(hi_t[s0]))
-            work = slider.window_agg()  # one fresh copy per segment
-            bprev = int(a[s0])
-            for i in range(s0, s1):
-                bi = int(b[i])
-                if bi > bprev:
-                    if work is None:
-                        work = fl._new_sketch(op)
-                    if op == Operation.APPROX_UNIQUE_COUNT:
-                        work.update_hashes(hv[bprev:bi])
-                    elif op == Operation.APPROX_PERCENTILE:
-                        work.update(fv[bprev:bi])
+            out = np.full(nq, None, dtype=object)
+            unbounded = p.window is None
+            for g in range(G):
+                q0, q1 = int(q_ofs[g]), int(q_ofs[g + 1])
+                if q0 == q1:
+                    continue
+                t0 = int(t_ofs[g])
+                e0, e1 = int(e_ofs[g]), int(e_ofs[g + 1])
+                items = [None if pd.isna(bb) else cls.from_bytes(bytes(bb))
+                         for bb in blobs_t[t0:int(t_ofs[g + 1])]]
+                seed = None
+                if unbounded and ci_k[g] >= 0:
+                    cb = sk_all[ci_k[g]]
+                    if not pd.isna(cb):
+                        seed = cls.from_bytes(bytes(cb))
+                slider = (_PrefixSketch(items, seed) if unbounded
+                          else _SwagSketch(items))
+                lo_k = lo_t[q0:q1] - t0
+                hi_k = hi_t[q0:q1] - t0
+                ev_k = e_valid[e0:e1]
+                vpos = np.flatnonzero(ev_k)
+                a = np.searchsorted(vpos, e_lo[q0:q1] - e0)
+                b = np.searchsorted(vpos, e_hi[q0:q1] - e0)
+                # batched segment sweep (round-5 verdict item #2): queries
+                # sharing (tile window, head-slice start) — constant within
+                # one hop — are served from ONE window_agg copy; head
+                # events append incrementally (b is monotone) and finalize
+                # is read-only, so per-query cost drops from
+                # copy+merge+update to update-delta+finalize. Content is
+                # identical: within a segment a[i] is constant, so the
+                # cumulative updates [a, b_i) equal the old per-query
+                # fresh-copy updates.
+                m = q1 - q0
+                lo_eff = np.zeros(m, dtype=np.int64) if unbounded else lo_k
+                seg = np.zeros(m, dtype=bool)
+                seg[0] = True
+                if m > 1:
+                    seg[1:] = ((lo_eff[1:] != lo_eff[:-1])
+                               | (hi_k[1:] != hi_k[:-1]) | (a[1:] != a[:-1]))
+                sst = np.flatnonzero(seg)
+                sen = np.r_[sst[1:], m]
+                for s0, s1 in zip(sst, sen):
+                    if unbounded:
+                        slider.advance(int(hi_k[s0]))
                     else:
-                        work.update(list(evv[vpos[bprev:bi]]))
-                    bprev = bi
-                if work is not None:
-                    out[i] = _finalize_sketch(op, work, k, nfp, pcts)
-        return out
+                        slider.advance(int(lo_eff[s0]), int(hi_k[s0]))
+                    work = slider.window_agg()  # one fresh copy per segment
+                    bprev = int(a[s0])
+                    # exact-regime fast lanes — provably identical outputs
+                    # (the sketch structures below their thresholds ARE the
+                    # exact values): a python set for sparse distinct
+                    # counts, an incrementally-sorted buffer + direct
+                    # quantile for an uncompressed KLL. Each lane falls
+                    # back to the sketch path the moment its threshold is
+                    # crossed, reconstructing the sketch from the exact
+                    # state (registers/compaction depend only on the value
+                    # multiset and n, so the handoff is lossless).
+                    if op == Operation.APPROX_UNIQUE_COUNT and (
+                            work is None or work.sparse is not None):
+                        sset = (set() if work is None
+                                else set(work.sparse.tolist()))
+                        limit = (work.sparse_limit if work is not None
+                                 else 4096)
+                        created = work is not None
+                        work = None
+                        for i in range(s0, s1):
+                            bi = int(b[i])
+                            if work is None and bi > bprev:
+                                created = True
+                                sset.update(hv_all[vpos[bprev:bi] + e0].tolist())
+                                bprev = bi
+                                if len(sset) > limit:
+                                    work = fl._new_sketch(op)
+                                    work.update_hashes(np.fromiter(
+                                        sset, dtype=np.uint64, count=len(sset)))
+                            if work is not None:
+                                bi = int(b[i])
+                                if bi > bprev:
+                                    work.update_hashes(hv_all[vpos[bprev:bi] + e0])
+                                    bprev = bi
+                                out[q0 + i] = _finalize_sketch(op, work, k, nfp, pcts)
+                            elif created:
+                                out[q0 + i] = len(sset)
+                        continue
+                    if op == Operation.APPROX_PERCENTILE and (
+                            work is None or not any(
+                                len(lv) for lv in work.levels[1:])):
+                        buf = (np.empty(0, dtype=np.float64) if work is None
+                               else np.sort(work.levels[0], kind="stable"))
+                        cap = work.cap if work is not None else 4096
+                        created = work is not None
+                        work = None
+                        for i in range(s0, s1):
+                            bi = int(b[i])
+                            if work is None and bi > bprev:
+                                created = True
+                                nv = fv_all[vpos[bprev:bi] + e0]
+                                nv = nv[~np.isnan(nv)]
+                                bprev = bi
+                                if len(nv):
+                                    if len(nv) > 1:
+                                        nv = np.sort(nv)
+                                    buf = np.insert(
+                                        buf, np.searchsorted(buf, nv), nv)
+                                    if len(buf) > cap:
+                                        work = fl._new_sketch(op)
+                                        work.levels[0] = buf.copy()
+                                        work.n = len(buf)
+                                        work._compress()
+                            if work is not None:
+                                bi = int(b[i])
+                                if bi > bprev:
+                                    work.update(fv_all[vpos[bprev:bi] + e0])
+                                    bprev = bi
+                                out[q0 + i] = _finalize_sketch(op, work, k, nfp, pcts)
+                            elif created:
+                                out[q0 + i] = _sorted_quantiles(buf, pcts)
+                        continue
+                    for i in range(s0, s1):
+                        bi = int(b[i])
+                        if bi > bprev:
+                            if work is None:
+                                work = fl._new_sketch(op)
+                            sel = vpos[bprev:bi] + e0
+                            if op == Operation.APPROX_UNIQUE_COUNT:
+                                work.update_hashes(hv_all[sel])
+                            elif op == Operation.APPROX_PERCENTILE:
+                                work.update(fv_all[sel])
+                            else:
+                                work.update(list(evv[sel]))
+                            bprev = bi
+                        if work is not None:
+                            out[q0 + i] = _finalize_sketch(op, work, k, nfp, pcts)
+            return out
+
+        data = {ROW_ID: pdf[ROW_ID].to_numpy(dtype=np.int64)[q_pos]}
+        for p, nm, rep, op, col in keyed:
+            if p.window is None:
+                nonlocal_lo = lo_t_unb
+                if nonlocal_lo is None:
+                    nonlocal_lo = np.searchsorted(enc_tile, gq_enc)
+                    lo_t_unb = nonlocal_lo
+                lo_t, hi_t, e_lo = nonlocal_lo, hi_t_head, e_lo_head
+            else:
+                w, th = p.window.millis, p.window.tail_hop_millis()
+                tail = ((T - w) // th) * th
+                lo_t = np.searchsorted(enc_tile, gq_enc + np.maximum(tail - base, 0))
+                hi_t = np.maximum(hi_t_head, lo_t)
+                e_lo = np.minimum(np.searchsorted(
+                    enc_ev, gq_enc + np.maximum(np.maximum(tail, head) - base, 0)),
+                    e_hi)
+            # collapsed (below-split) state feeds ONLY unbounded parts
+            # (merge_state rule: windowed tails are above the split)
+            ci = ci_q if p.window is None else None
+            if op in fl.SKETCH_OPS:
+                data[nm] = _serve_sketch(p, rep, op, col, lo_t, hi_t, e_lo, e_hi)
+            elif op in (Operation.SUM, Operation.AVERAGE, Operation.COUNT):
+                data[nm] = _serve_additive(rep, op, col, ci, lo_t, hi_t, e_lo, e_hi)
+            elif op in (Operation.MIN, Operation.MAX):
+                data[nm] = _serve_extreme(rep, op, col, ci, lo_t, hi_t, e_lo, e_hi)
+            else:  # FIRST / LAST
+                data[nm] = _serve_first_last(rep, op, col, ci, lo_t, hi_t, e_lo, e_hi)
+        return pd.DataFrame({c: data[c] for c in [ROW_ID, *out_fields]},
+                            columns=[ROW_ID, *out_fields])
 
     return serve
 
@@ -709,14 +860,14 @@ def compute_group_by_approx(
     parts = fl._parts(gb)
     inputs = sorted({p.input_column for p in parts})
     keys = list(gb.key_columns)
-    union, ev, ir_cols = _build_frames(spark, gb, queries, row_id,
+    union, ev, ir_cols, ir_map = _build_frames(spark, gb, queries, row_id,
                                        query_time_col)
 
     _, part_types, out_schema = pit_join._output_schema(gb, dict(
         (f.name, f.dataType) for f in ev.schema.fields), [])
     out_fields = [f.name for f in out_schema.fields if f.name != ROW_ID]
 
-    serve = _make_group_server(parts, inputs, out_fields, keys)
+    serve = _make_group_server(parts, inputs, out_fields, keys, ir_map)
 
     # ONE shuffle keyed by the GroupBy keys; each key's rows arrive sorted
     # (tiles | events | collapsed | queries, each time-ordered) and are

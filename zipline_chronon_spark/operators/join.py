@@ -79,16 +79,17 @@ def _snapshot_events_part(
         day.alias("__day"),
     ).distinct()
     qd = qd.withColumn("__q_ts", F.col("__day") * MS_DAY - F.lit(1))
-    # minted id must be stable across the two uses of qd (same reason the
-    # join left is persisted); qd is |distinct keys x days| — small
-    qd = qd.withColumn(ROW_ID, F.monotonically_increasing_id()).persist()
-    _PERSISTED.append(qd)
-    qd.count()
+    # deterministic row id + engine passthrough of (keys, __day): no join
+    # back on the id, so no persist/count materialization pass is needed
+    # (the old monotonically_increasing_id had to be pinned across the two
+    # plan branches of qd ⋈ feats)
+    qd = qd.withColumn(ROW_ID, F.xxhash64(*right_keys, F.col("__day")))
     feats = pit_join.compute_group_by(
         spark, gb, qd, row_id=ROW_ID, query_time_col="__q_ts",
         num_partitions=num_partitions,
+        passthrough_cols=[*right_keys, "__day"],
     )
-    return qd.join(feats, ROW_ID).drop("__q_ts", ROW_ID)
+    return feats.drop(ROW_ID)
 
 
 def _snapshot_entities_part(spark: SparkSession, gb,

@@ -508,6 +508,7 @@ def compute_group_by(
     semi_filter: str = "semi_join",
     engine: str = "arrow",
     time_range_ms: Optional[tuple[Optional[int], Optional[int]]] = None,
+    passthrough_cols: Optional[list[str]] = None,
 ) -> DataFrame:
     """Enrich each query row (keys…, ts) with gb's features as of its ts.
 
@@ -521,9 +522,15 @@ def compute_group_by(
     small mode, literal IN pushdown into scan statistics (left must have
     <= 5000 distinct keys); "off" = scan everything (right when the left
     covers most keys anyway).
+
+    passthrough_cols: extra ``queries`` columns carried through the engine
+    onto the matching output row — saves the caller a join back on row_id
+    when it only needs query attributes next to the features (the snapshot
+    paths below use it; same idea as compute_group_by_self's passthrough).
     """
     # key_mapping maps left column -> right key (api.thrift:384-386)
     key_mapping = key_mapping or {}
+    passthrough_cols = passthrough_cols or []
     right_keys = list(gb.key_columns)
     inv = {r: l for l, r in key_mapping.items()}
     left_cols = {rk: inv.get(rk, rk) for rk in right_keys}
@@ -539,6 +546,8 @@ def compute_group_by(
         *[F.col(left_cols[rk]).alias(rk) for rk in right_keys],
         _time_to_millis(F.expr(query_time_col), q_time_dt).alias(TS_COL),
         F.col(row_id).alias(ROW_ID),
+        *[F.col(c) for c in passthrough_cols
+          if c not in set(right_keys) | {ROW_ID, TS_COL}],
     )
     if semi_filter == "semi_join":
         ev = ev.join(F.broadcast(q.select(*right_keys).distinct()), right_keys, "left_semi")
@@ -567,7 +576,9 @@ def compute_group_by(
     q_u = q.withColumn(SIDE_COL, F.lit(1)).withColumn(TIE_COL, F.lit(0).cast("long"))
     union = ev_u.unionByName(q_u, allowMissingColumns=True)
 
-    parts, part_types, out_schema = _output_schema(gb, ev_schema, [])
+    u_schema = {f.name: f.dataType for f in union.schema.fields}
+    pt_fields = [T.StructField(c, u_schema[c], True) for c in passthrough_cols]
+    parts, part_types, out_schema = _output_schema(gb, ev_schema, pt_fields)
     fields = list(out_schema.fields)
 
     shuffled = union.repartition(num_partitions, *right_keys) if num_partitions else (
@@ -580,13 +591,16 @@ def compute_group_by(
     if engine == "arrow":
         from zipline_chronon_spark.operators.arrow_engine import make_arrow_runner
 
-        runner = make_arrow_runner(parts, part_types, right_keys, out_schema, [],
-                                   None, snap, TS_COL, SIDE_COL, ROW_ID)
+        runner = make_arrow_runner(parts, part_types, right_keys, out_schema,
+                                   passthrough_cols, None, snap, TS_COL,
+                                   SIDE_COL, ROW_ID)
         out = arranged.mapInArrow(runner, schema=out_schema)
     else:
-        runner = _make_runner(parts, part_types, right_keys, fields, [], snapshot=snap)
+        runner = _make_runner(parts, part_types, right_keys, fields,
+                              passthrough_cols, snapshot=snap)
         out = arranged.mapInPandas(runner, schema=out_schema)
-    return apply_derivations(out, gb.derivations, always_keep=[ROW_ID])
+    return apply_derivations(out, gb.derivations,
+                             always_keep=[ROW_ID, *passthrough_cols])
 
 
 SALT_COL = "__salt"
@@ -724,11 +738,13 @@ def compute_snapshot(
             F.xxhash64(*gb.key_columns, F.col("__day")).alias(ROW_ID),
         )
     )
+    # keys + ds ride the engine as passthrough — no join back on ROW_ID
     feats = compute_group_by(
         spark, gb_snap, q, row_id=ROW_ID, query_time_col="__q_ts",
         num_partitions=num_partitions,
+        passthrough_cols=[*gb.key_columns, "ds"],
     )
-    return q.join(feats, ROW_ID).drop(ROW_ID, "__q_ts")
+    return feats.drop(ROW_ID)
 
 
 def compute_entity_snapshot(
@@ -779,15 +795,13 @@ def compute_entity_snapshot(
         )
         .withColumn(ROW_ID, F.xxhash64(*gb.key_columns, "__ds"))
     )
+    # keys (incl. the __ds partition key) ride as passthrough — no join back
     feats = compute_group_by(
         spark, gb2, q, row_id=ROW_ID, query_time_col="__q_ts",
         num_partitions=num_partitions,
+        passthrough_cols=[*gb.key_columns, "__ds"],
     )
-    return (
-        q.join(feats, ROW_ID)
-        .drop(ROW_ID, "__q_ts")
-        .withColumnRenamed("__ds", "ds")
-    )
+    return feats.drop(ROW_ID).withColumnRenamed("__ds", "ds")
 
 
 def compute_key_states(
@@ -810,6 +824,6 @@ def compute_key_states(
     )
     feats = compute_group_by(
         spark, gb, q, row_id=ROW_ID, query_time_col="__q_ts",
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, passthrough_cols=list(gb.key_columns),
     )
-    return q.join(feats, ROW_ID).drop(ROW_ID, "__q_ts")
+    return feats.drop(ROW_ID)
