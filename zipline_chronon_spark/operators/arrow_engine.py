@@ -356,7 +356,48 @@ def _fallback_part(part, in_t, col, cols, valid, is_ev, enc_all, gid_q, q_ts, ba
     if isinstance(in_t, ST.MapType):
         pos = np.flatnonzero(valid & is_ev)
         results = [None] * n_q
-        if len(pos):
+        arrow_keys = (isinstance(col, pa.MapArray)
+                      and pa.types.is_string(col.type.key_type))
+        if len(pos) and arrow_keys:
+            # Arrow-native flatten: keys/items are contiguous child arrays,
+            # so per-entry work is numpy — the old path materialized a
+            # Python tuple list per row (to_pylist) plus str(k) per entry
+            ma = col.take(pa.array(pos, type=pa.int64()))
+            offs = ma.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = offs[1:] - offs[:-1]
+            enc_rep = np.repeat(enc_all[pos], lens)
+            # MapArray.keys/.items are the offset-adjusted flattened children
+            keys_f, items_f = ma.keys, ma.items
+            denc = pc.dictionary_encode(keys_f)
+            kcodes = _np_int64(denc.indices)
+            # first-appearance dictionary order == the old dict.fromkeys order
+            kdict = [str(v) for v in denc.dictionary.to_pylist()]
+            it_valid = _valid_np(items_f)
+            long_vals = isinstance(
+                in_t.valueType, (ST.ByteType, ST.ShortType, ST.IntegerType,
+                                 ST.LongType, ST.BooleanType))
+            mvals_obj = None  # lazy: only for non-numeric items
+            for ci, mk in enumerate(kdict):
+                sel = (kcodes == ci) & it_valid
+                if not sel.any():
+                    continue
+                pos_f = np.flatnonzero(sel)
+                if _is_numeric(items_f.type):
+                    vs = _numeric_np(items_f)[pos_f]
+                    vs = vs.astype(np.int64 if long_vals else np.float64)
+                else:
+                    if mvals_obj is None:
+                        mvals_obj = np.array(items_f.to_pylist(), dtype=object)
+                    vs = mvals_obj[pos_f]
+                enc_sel = enc_rep[pos_f]
+                lo, hi = _tail_bounds(enc_sel, gid_q, q_ts, base, part, snapshot)
+                res = kernels.run_kernel(part, vs, enc_sel, lo, hi)
+                for i, r in enumerate(res):
+                    if r is not None:
+                        if results[i] is None:
+                            results[i] = {}
+                        results[i][mk] = r
+        elif len(pos):
             items = to_obj(col, pos)
             lens = np.array([len(d) for d in items], dtype=np.int64)
             enc_rep = np.repeat(enc_all[pos], lens)
@@ -410,7 +451,31 @@ def _fallback_part(part, in_t, col, cols, valid, is_ev, enc_all, gid_q, q_ts, ba
         pos = np.flatnonzero(valid & is_ev)
         if not len(pos):
             return pa.nulls(n_q, pa_type)
-        if isinstance(in_t, ST.ArrayType):
+        if isinstance(in_t, ST.ArrayType) and isinstance(
+                col, (pa.ListArray, pa.LargeListArray)):
+            # Arrow-native explode: lengths + flatten are child-buffer
+            # operations; the old path built a Python list per row
+            la = col.take(pa.array(pos, type=pa.int64()))
+            lens = pc.list_value_length(la).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            enc_f = np.repeat(enc_all[pos], lens)
+            flat_arr = la.flatten()
+            fm = _valid_np(flat_arr)
+            enc_f = enc_f[fm]
+            if not len(enc_f):
+                return pa.nulls(n_q, pa_type)
+            if _is_numeric(flat_arr.type):
+                el_long = isinstance(
+                    in_t.elementType, (ST.ByteType, ST.ShortType,
+                                       ST.IntegerType, ST.LongType,
+                                       ST.BooleanType))
+                vals_f = _numeric_np(flat_arr)[fm].astype(
+                    np.int64 if el_long else np.float64)
+            else:
+                vals_f = np.array(flat_arr.to_pylist(), dtype=object)[fm]
+            lo, hi = _tail_bounds(enc_f, gid_q, q_ts, base, part, snapshot)
+            results = kernels.run_kernel(part, vals_f, enc_f, lo, hi)
+        elif isinstance(in_t, ST.ArrayType):
             lists = to_obj(col, pos)
             lens = np.array([len(x) for x in lists], dtype=np.int64)
             enc_f = np.repeat(enc_all[pos], lens)

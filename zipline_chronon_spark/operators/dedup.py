@@ -183,15 +183,6 @@ def minhash_lsh_pairs(
     exact_dup_groups — and its within-bucket join goes quadratic)."""
     df = _fan_out(df, id_col)
     sig = minhash_signature(df, id_col, text_col, n, num_hashes)
-    # the signature subplan otherwise appears once PER BAND in the physical
-    # plan (md5 + k salted mins recomputed 4x). `.persist()` measured
-    # SLOWER here (InMemoryRelation blocks broadcast/codegen downstream),
-    # but localCheckpoint halves wall time (12.6->5.2 s cold, 4.6->2.7 s
-    # warm at sf0.1): lineage truncation without the cache-plan boundary.
-    # Cluster caveat: localCheckpoint pins blocks to executor-local storage
-    # (executor loss = job retry); at real scale materialize the signature
-    # TABLE through the catalog instead — it is a useful artifact anyway.
-    sig = sig.localCheckpoint(eager=False)
     bands = sig.select(
         id_col,
         F.explode(F.array(*[
@@ -200,17 +191,36 @@ def minhash_lsh_pairs(
             for bi in range(num_hashes // band_size)
         ])).alias("band_key"),
     )
-    if max_bucket is not None:
-        hot = (bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bn"))
-               .where(F.col("bn") > max_bucket).select("band_key"))
-        bands = bands.join(F.broadcast(hot), "band_key", "left_anti")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    # bucket members gathered per band key, pairs expanded with a
+    # higher-order expression — ONE aggregation replaces the old
+    # hot-bucket pre-count + broadcast anti-join + band self-join shape
+    # (which consumed the signature THREE times and needed a
+    # localCheckpoint to avoid recomputing the md5 passes per consumer).
+    # The size filter on the gathered array IS the hot-bucket cap; member
+    # arrays are bounded by ``max_bucket`` whenever the cap is set (without
+    # it a degenerate bucket makes one wide row — the same quadratic blowup
+    # the join shape would hit as rows).
+    return _bucket_pairs(
+        bands.groupBy("band_key").agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")),
+        max_bucket,
     )
+
+
+def _bucket_pairs(grouped: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Distinct (id_a < id_b) pairs from bucket-member arrays ``__ids``
+    (sorted ascending); buckets larger than ``max_bucket`` are dropped."""
+    if max_bucket is not None:
+        grouped = grouped.where(F.size("__ids") <= max_bucket)
+    pairs = F.explode(F.flatten(F.transform(
+        F.col("__ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("__ids"), i + F.lit(2), F.size(F.col("__ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))))))
+    return (grouped.where(F.size("__ids") >= 2)
+            .select(pairs.alias("p"))
+            .select(F.col("p.id_a"), F.col("p.id_b"))
+            .distinct())
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -282,6 +292,12 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
             F.shiftright("simhash", 15 * j).bitwiseAND(F.lit(0x7FFF)) for j in range(4)
         ])).alias("band_id", "band"),
     )
+    # NOTE: the collect_list + higher-order pair expansion that sped up
+    # minhash_lsh_pairs was tried here too and measured ~2x SLOWER: the
+    # 60-bit vote-fold producing `simhash` is a very large codegen
+    # expression, and folding it into the aggregate+lambda plan recompiles
+    # pathologically; the band self-join (broadcast at these sizes) keeps
+    # the fold in its own stage.
     if max_bucket is not None:
         hot = (bands.groupBy("band_id", "band").agg(F.count(F.lit(1)).alias("bn"))
                .where(F.col("bn") > max_bucket).select("band_id", "band"))
