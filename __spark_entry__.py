@@ -1059,7 +1059,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus vectors as the coarse quantizer, nearest-cell assignment, each
     query probes its 4 nearest cells, one cogrouped Arrow GEMM per cell.
     The codebook seeding, epsilon-rounded assignment ranking, and cell
-    membership are all replayed exactly by the DuckDB oracle."""
+    membership are all replayed exactly by the DuckDB oracle — exact while
+    no cell exceeds max_cell=4096 (true at every driver/bench SF; the
+    stride-subsample knob is skew defense the oracle does not replay —
+    same caveat as the LSH queries)."""
     from zipline_chronon_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

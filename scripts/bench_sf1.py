@@ -34,7 +34,9 @@ def main() -> None:
     assert rows == n_turns, (rows, n_turns)
     best = float("inf")
     reps = []
-    for _ in range(int(os.environ.get("SPARK_GRAFT_SF1_REPS", "2"))):
+    # clamp: reps=0 would leave best=inf and json.dump would emit
+    # non-standard Infinity (round-5 advice)
+    for _ in range(max(1, int(os.environ.get("SPARK_GRAFT_SF1_REPS", "2")))):
         t0 = time.time()
         bench.flagship_backfill(spark, tpath)
         reps.append(round(time.time() - t0, 3))

@@ -72,10 +72,14 @@ class InMemoryKv(KvStore):
         a service-backed client in production) and inherit the
         foreachPartition-shaped default."""
         n = 0
-        # IR frames are small by construction; without the coalesce,
-        # toLocalIterator pays one round-trip per upstream partition
-        # (~60 on a wide session) and dominates wall time
-        for row in df.coalesce(1).toLocalIterator():
+        # IR frames are small by construction, and this store is a driver
+        # dict anyway, so collect() costs the same memory order as the
+        # writes it feeds. The old coalesce(1).toLocalIterator() avoided
+        # per-partition round trips but collapsed the WHOLE upstream tile
+        # build into one task (coalesce without a shuffle propagates
+        # single-partition parallelism up to the previous exchange);
+        # collect() keeps the build parallel and fetches once.
+        for row in df.collect():
             dataset, k, v = encode_fn(row.asDict())
             self.put(dataset, k, v)
             n += 1
