@@ -68,11 +68,20 @@ class HllSketch:
         self.regs: np.ndarray | None = None  # uint8[2^lg_k] when dense
 
     # -- updates ----------------------------------------------------------
+    # Sparse mode keeps a LAZY buffer: updates/merges append (O(new)) and
+    # possible duplicates are deduped only when the buffer outgrows the
+    # limit or a reader needs set semantics (_compact). The distinct SET —
+    # and therefore every estimate, the densify threshold crossing, and
+    # the wire bytes — is identical to the old eager np.union1d per call,
+    # which was the dominant cost of tile merges in window-sliding servers
+    # (one O(m log m) sort per O(1)-amortized two-stack merge).
     def update_hashes(self, h: np.ndarray) -> "HllSketch":
         if self.sparse is not None:
-            self.sparse = np.union1d(self.sparse, h.astype(np.uint64))
+            self.sparse = np.concatenate([self.sparse, h.astype(np.uint64)])
             if len(self.sparse) > self.sparse_limit:
-                self._densify()
+                self._compact()
+                if len(self.sparse) > self.sparse_limit:
+                    self._densify()
         else:
             self._update_regs(h.astype(np.uint64))
         return self
@@ -81,6 +90,11 @@ class HllSketch:
         return self.update_hashes(hash64(values))
 
     # -- internals ---------------------------------------------------------
+    def _compact(self) -> None:
+        """Dedupe the lazy sparse buffer (sorted unique, set semantics)."""
+        if self.sparse is not None and len(self.sparse):
+            self.sparse = np.unique(self.sparse)
+
     def _densify(self) -> None:
         sp, self.sparse = self.sparse, None
         self.regs = np.zeros(1 << self.lg_k, dtype=np.uint8)
@@ -110,6 +124,7 @@ class HllSketch:
     # -- queries -----------------------------------------------------------
     def estimate(self) -> float:
         if self.sparse is not None:
+            self._compact()
             return float(len(self.sparse))
         m = float(len(self.regs))
         alpha = 0.7213 / (1 + 1.079 / m)
@@ -123,9 +138,11 @@ class HllSketch:
     def merge(self, other: "HllSketch") -> "HllSketch":
         assert self.lg_k == other.lg_k
         if self.sparse is not None and other.sparse is not None:
-            self.sparse = np.union1d(self.sparse, other.sparse)
+            self.sparse = np.concatenate([self.sparse, other.sparse])
             if len(self.sparse) > self.sparse_limit:
-                self._densify()
+                self._compact()
+                if len(self.sparse) > self.sparse_limit:
+                    self._densify()
         else:
             if self.sparse is not None:
                 self._densify()
@@ -146,6 +163,7 @@ class HllSketch:
 
     def to_bytes(self) -> bytes:
         if self.sparse is not None:
+            self._compact()  # wire format stays sorted-unique
             return (self.MAGIC + struct.pack("<BBI", 0, self.lg_k, len(self.sparse))
                     + self.sparse.tobytes())
         return self.MAGIC + struct.pack("<BBI", 1, self.lg_k, len(self.regs)) + self.regs.tobytes()
