@@ -239,21 +239,46 @@ def process_chunk_arrow(
                     pre = _prefix(x)
                     res = (pre[hi] - pre[lo]) / nw
                 else:
-                    c = x - (x.mean() if len(x) else 0.0)
-                    pres = [_prefix(c ** p) for p in range(1, 5)]
-                    s = [p[hi] - p[lo] for p in pres]
-                    mu = s[0] / nw
-                    m2 = np.maximum(s[1] - nw * mu ** 2, 0.0)
-                    if op == Operation.VARIANCE:
-                        res = m2 / nw
-                    elif op == Operation.SKEW:
-                        m3 = s[2] - 3 * mu * s[1] + 2 * nw * mu ** 3
-                        res = np.where((nw < 3) | (m2 <= 0), np.nan,
-                                       np.sqrt(nw) * m3 / np.power(m2, 1.5))
+                    # center per GROUP (every window lies inside one group,
+                    # so a group-constant shift keeps the prefix algebra
+                    # exact while minimizing |window mean − center|) and
+                    # accumulate the power prefixes in x86 extended
+                    # precision: batch-composition-dependent float64
+                    # rounding was observed flipping a 4-decimal-rounded
+                    # moment at an untested SF when re-chunking changed —
+                    # longdouble pushes the engine-vs-oracle gap orders
+                    # below the queries' 1e-7 rounding guard
+                    if len(x):
+                        gf = (enc_f >> _SHIFT).astype(np.int64)
+                        cnt_g = np.bincount(gf)
+                        sum_g = np.bincount(gf, weights=x)
+                        mean_g = np.where(cnt_g > 0, sum_g / np.maximum(cnt_g, 1), 0.0)
+                        c = (x - mean_g[gf]).astype(np.longdouble)
                     else:
-                        m4 = s[3] - 4 * mu * s[2] + 6 * mu ** 2 * s[1] - 3 * nw * mu ** 4
+                        c = x.astype(np.longdouble)
+
+                    def _prefl(v):
+                        out_p = np.zeros(len(v) + 1, dtype=np.longdouble)
+                        np.cumsum(v, out=out_p[1:])
+                        return out_p
+
+                    pres = [_prefl(c ** p) for p in range(1, 5)]
+                    s = [p[hi] - p[lo] for p in pres]
+                    nwl = nw.astype(np.longdouble)
+                    mu = s[0] / nwl
+                    m2 = np.maximum(s[1] - nwl * mu ** 2, 0.0)
+                    if op == Operation.VARIANCE:
+                        res = (m2 / nwl).astype(np.float64)
+                    elif op == Operation.SKEW:
+                        m3 = s[2] - 3 * mu * s[1] + 2 * nwl * mu ** 3
+                        res = np.where((nw < 3) | (m2 <= 0), np.nan,
+                                       (np.sqrt(nwl) * m3 / np.power(m2, 1.5))
+                                       .astype(np.float64))
+                    else:
+                        m4 = s[3] - 4 * mu * s[2] + 6 * mu ** 2 * s[1] - 3 * nwl * mu ** 4
                         res = np.where((nw < 4) | (m2 <= 0), np.nan,
-                                       nw * m4 / (m2 * m2) - 3.0)
+                                       (nwl * m4 / (m2 * m2) - 3.0)
+                                       .astype(np.float64))
             out_arrays.append(_masked_pa(res, empty, f.type))
         elif op in (Operation.MIN, Operation.MAX):
             npop = np.minimum if op == Operation.MIN else np.maximum

@@ -141,12 +141,21 @@ def brute_force_topk(
     base = df.select(id_col, vec_col)
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
     qch = F.pmod(F.xxhash64(F.col(id_col), F.lit(1)), F.lit(n_qchunks))
+    # grid keys must be LONG on BOTH sides of the cogroup: pmod(xxhash64)
+    # is long but explode(sequence(int,int)) is int, and Spark hashes
+    # int-typed and long-typed group keys differently, so mixed-type sides
+    # land the same logical cell in different shuffle partitions and the
+    # cogroup silently pairs queries with an EMPTY corpus (observed: whole
+    # query chunks missing from the output, varying with the partition
+    # count / AQE plan — a correctness bug, not a perf choice)
+    lseq = lambda n: F.sequence(F.lit(0).cast("long"),  # noqa: E731
+                                F.lit(n - 1).cast("long"))
     corpus = base.select(
         "*", blk.alias("__blk"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_qchunks - 1))).alias("__qc"))
+        F.explode(lseq(n_qchunks)).alias("__qc"))
     queries = base.select(
         "*", qch.alias("__qc"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__blk"))
+        F.explode(lseq(n_blocks)).alias("__blk"))
 
     def score(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if len(qpdf) == 0 or len(cpdf) == 0:
