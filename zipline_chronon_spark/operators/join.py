@@ -319,6 +319,44 @@ def compute_join(
                            .alias(f"{p.full_prefix}_{ap.output_name}"))
         return feats.select(*sel)
 
+    def _passthrough_frame(parts_run) -> Optional[DataFrame]:
+        """When ONE temporal engine pass covers EVERY part (and key names
+        need no mapping), the left's columns ride through the engine as
+        passthrough and the merge join on the row id disappears — the
+        whole join is scan → one events∪left shuffle → serve."""
+        base = parts_run[0]
+        mapping = base.left_to_right()
+        if any(l != r for l, r in mapping.items()):
+            return None  # left key cols named differently: keep the join
+        aggs: list = []
+        for p in parts_run:
+            for a in p.group_by.aggregations:
+                if a not in aggs:
+                    aggs.append(a)
+        fused_gb = dataclasses.replace(base.group_by, aggregations=tuple(aggs))
+        try:
+            fused_gb.parts()
+        except ValueError:
+            return None
+        feat_names = [f"{p.full_prefix}_{ap.output_name}"
+                      for p in parts_run for ap in p.group_by.parts()]
+        if (len(set(feat_names)) != len(feat_names)
+                or set(feat_names) & set(left.columns)):
+            return None
+        feats = pit_join.compute_group_by(
+            spark, _with_skew_wheres(fused_gb, join.skew_keys, mapping), left,
+            row_id=ROW_ID, key_mapping=mapping,
+            query_time_col=pit_join.TS_COL, num_partitions=num_partitions,
+            passthrough_cols=[c for c in left.columns if c != ROW_ID])
+        # match the join-based layout exactly: a USING join emits the join
+        # key first, then the left's other columns, then the part columns
+        sel = [F.col(ROW_ID)] + [F.col(c) for c in left.columns if c != ROW_ID]
+        for p in parts_run:
+            for ap in p.group_by.parts():
+                sel.append(F.col(ap.output_name)
+                           .alias(f"{p.full_prefix}_{ap.output_name}"))
+        return feats.select(*sel)
+
     def _attach_coalesced(out, part_df, key_cols, mapping):
         # coalescedJoin: on collision prefer the already-present (bootstrap)
         # value, else the freshly computed one (JoinUtils.scala:159-190)
@@ -330,6 +368,11 @@ def compute_join(
         for c in collisions:
             out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__fresh_{c}"))).drop(f"__fresh_{c}")
         return out
+
+    if len(runs) == 1 and runs[0][0] is not None and not join.bootstrap_parts:
+        joinless = _passthrough_frame(runs[0][1])
+        if joinless is not None:
+            runs, out = [], joinless
 
     for sig, parts_run in runs:
         fused = _fused_frame(parts_run) if len(parts_run) > 1 else None
