@@ -19,7 +19,7 @@ and served cogrouped: within each key, queries are answered in time order
 against the key's tile/event arrays with
 
   - prefix-sum difference arrays for SUM / COUNT / AVERAGE,
-  - monotone-deque sliding extremes for MIN / MAX,
+  - batch-wide sparse-table range queries (RMQ) for MIN / MAX,
   - next/prev-non-null index hops for FIRST / LAST,
   - a two-stack sliding-window merge (SWAG) for sketch parts: both window
     endpoints are monotone in query time, so each tile sketch is
@@ -53,7 +53,6 @@ share one IR format and one finalize rule.
 
 from __future__ import annotations
 
-import collections
 from typing import Optional
 
 import numpy as np
@@ -249,40 +248,6 @@ def _prev_valid(valid: np.ndarray) -> np.ndarray:
     """prv[i] = largest j <= i with valid[j], else -1."""
     idx = np.where(valid, np.arange(len(valid)), -1)
     return np.maximum.accumulate(idx)
-
-
-class _SlideExtreme:
-    """Range min/max over [lo, hi) for MONOTONE lo and hi (amortized O(1)
-    per element; works for any orderable dtype incl. strings, unlike a
-    float RMQ table)."""
-
-    __slots__ = ("vals", "valid", "is_min", "dq", "lo", "hi")
-
-    def __init__(self, vals: np.ndarray, valid: np.ndarray, is_min: bool):
-        self.vals, self.valid, self.is_min = vals, valid, is_min
-        self.dq: collections.deque = collections.deque()
-        self.lo = 0
-        self.hi = 0
-
-    def query(self, lo: int, hi: int):
-        vals, dq = self.vals, self.dq
-        while self.hi < hi:
-            i = self.hi
-            if self.valid[i]:
-                v = vals[i]
-                if self.is_min:
-                    while dq and vals[dq[-1]] >= v:
-                        dq.pop()
-                else:
-                    while dq and vals[dq[-1]] <= v:
-                        dq.pop()
-                dq.append(i)
-            self.hi += 1
-        if lo > self.lo:
-            self.lo = lo
-        while dq and dq[0] < self.lo:
-            dq.popleft()
-        return vals[dq[0]] if dq else None
 
 
 class _SwagSketch:
